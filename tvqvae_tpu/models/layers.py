@@ -1,0 +1,148 @@
+"""Shared flax building blocks.
+
+All conv stacks run channel-last (NHWC / NLC) — the TPU-preferred layout —
+while the public model APIs keep the reference's channel-first convention at
+the boundary. Torch-geometry parity notes:
+
+  - `ConvTranspose2dTorch` reproduces torch's ConvTranspose2d output-size
+    arithmetic (out = (in-1)*stride - 2*pad + kernel) via an input-dilated
+    conv, which the reference decoder relies on for its width doubling
+    (timevqvae/models/vq_vae.py:95-121,238-251).
+  - `Snake` is the learnable per-channel x + (1/a) sin^2(ax) activation
+    (reference train_utils.py:421-448, a ~ U(0.2, 0.5)).
+  - BatchNorm matches torch defaults (momentum 0.1 torch == 0.9 flax,
+    eps 1e-5), with running stats in the `batch_stats` collection.
+"""
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tvqvae_tpu.ops.snake import snake
+
+
+def snake_init(a_base: float = 0.2, a_max: float = 0.5):
+    def init(rng, shape, dtype=jnp.float32):
+        return jax.random.uniform(rng, shape, dtype, a_base, a_max)
+
+    return init
+
+
+class Snake(nn.Module):
+    """Learnable per-channel snake activation over channel-last inputs."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("a", snake_init(), (self.features,))
+        return snake(x, a.astype(x.dtype))
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Transposed 2-D conv with torch output-size semantics, NHWC layout."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[int, int]  # torch-style symmetric padding
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
+            lhs_dilation=self.strides,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias
+
+
+def batch_norm(train: bool) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+
+
+class ResBlock2d(nn.Module):
+    """Snake -> conv -> BN -> Snake -> conv -> dropout, + 1x1-projected skip.
+
+    Reference vq_vae.py:13-62; kernel (1,3) when frequency-independent else
+    (3,3), 'same' padding.
+    """
+
+    out_channels: int
+    frequency_independence: bool
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_ch = x.shape[-1]
+        ksize = (1, 3) if self.frequency_independence else (3, 3)
+        pad = (0, 1) if self.frequency_independence else (1, 1)
+
+        h = Snake(in_ch)(x)
+        h = nn.Conv(self.out_channels, ksize,
+                    padding=[(pad[0], pad[0]), (pad[1], pad[1])])(h)
+        h = batch_norm(train)(h)
+        h = Snake(self.out_channels)(h)
+        h = nn.Conv(self.out_channels, ksize,
+                    padding=[(pad[0], pad[0]), (pad[1], pad[1])])(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1))(x)
+        return x + h
+
+
+class EncBlock2d(nn.Module):
+    """Width-halving encoder block: replicate-padded strided conv -> BN ->
+    Snake (reference vq_vae.py:65-92; kernel (3,4)/(1,4), stride (1,2))."""
+
+    out_channels: int
+    frequency_independence: bool
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ksize = (1, 4) if self.frequency_independence else (3, 4)
+        pad = (0, 1) if self.frequency_independence else (1, 1)
+        # replicate ("edge") padding, then VALID conv
+        x = jnp.pad(
+            x, ((0, 0), (pad[0], pad[0]), (pad[1], pad[1]), (0, 0)), mode="edge"
+        )
+        x = nn.Conv(self.out_channels, ksize, strides=(1, 2), padding="VALID")(x)
+        x = batch_norm(train)(x)
+        x = Snake(self.out_channels)(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class DecBlock2d(nn.Module):
+    """Width-doubling decoder block: transposed conv -> BN -> Snake
+    (reference vq_vae.py:95-121)."""
+
+    out_channels: int
+    frequency_independence: bool
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ksize = (1, 4) if self.frequency_independence else (3, 4)
+        pad = (0, 1) if self.frequency_independence else (1, 1)
+        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad)(x)
+        x = batch_norm(train)(x)
+        x = Snake(self.out_channels)(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x

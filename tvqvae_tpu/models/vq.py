@@ -83,7 +83,7 @@ def init_codebook(rng: jax.Array, p: VQParams) -> CodebookState:
         initted = jnp.asarray(True)
     return CodebookState(
         embed=embed,
-        embed_avg=embed,
+        embed_avg=embed + 0.0,  # distinct buffer (donation-safe)
         cluster_size=jnp.zeros((p.codebook_size,), jnp.float32),
         initted=initted,
     )

@@ -1,0 +1,106 @@
+"""Time-frequency VQ-VAE encoder / decoder conv stacks.
+
+Reference: timevqvae/models/vq_vae.py:124-264. Architectural parity with a
+TPU-first organization:
+
+  - The STFT / band-copy preprocessing lives OUTSIDE the modules (in the
+    stage-1 forward, tvqvae_tpu/train/stage1.py) rather than inside
+    Encoder.forward (reference vq_vae.py:174-188) — the encoder/decoder are
+    pure conv stacks over channel-last (NHWC) maps, so XLA fuses STFT conv,
+    band copy and the first encoder conv into one kernel cluster.
+  - Token geometry is derived statically (ops/shapes.py) instead of being
+    discovered at runtime and stashed in buffers (vq_vae.py:169-187).
+  - Channel schedule per the reference: encoder init_dim doubling each of
+    `num_halvings` width-halvings, ending in a ResBlock to hid_dim;
+    decoder mirrors it and appends two extra transposed convs, so its
+    output width is W' * 2^(num_halvings+1) (vq_vae.py:238-251) — the
+    surplus is resolved by iSTFT + linear resize + residual Linear head,
+    applied by the caller via `TimeHead`.
+"""
+
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvTranspose2dTorch, DecBlock2d, EncBlock2d, ResBlock2d
+
+
+class VQVAEEncoder(nn.Module):
+    """(B, H, W, 2C) time-frequency map -> (B, H', W', hid_dim) latents."""
+
+    init_dim: int
+    hid_dim: int
+    num_halvings: int
+    n_resnet_blocks: int
+    frequency_independence: bool = False
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.init_dim
+        x = EncBlock2d(d, self.frequency_independence)(x, train)
+        d *= 2
+        for _ in range(self.num_halvings - 1):
+            x = EncBlock2d(d, self.frequency_independence)(x, train)
+            for _ in range(self.n_resnet_blocks):
+                x = ResBlock2d(
+                    d, self.frequency_independence, dropout=self.dropout
+                )(x, train)
+            d *= 2
+        x = ResBlock2d(
+            self.hid_dim, self.frequency_independence, dropout=self.dropout
+        )(x, train)
+        return x
+
+
+class VQVAEDecoder(nn.Module):
+    """(B, H', W', hid_dim) latents -> (B, H, W'', 2C) time-frequency map,
+    W'' = W' * 2^(num_halvings + 1)."""
+
+    init_dim: int
+    hid_dim: int
+    out_channels: int  # 2C spectral channels
+    num_halvings: int
+    n_resnet_blocks: int
+    frequency_independence: bool = False
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        k = self.num_halvings
+        d = self.init_dim * 2 ** (k - 1) if k >= 1 else self.init_dim
+        ksize = (1, 4) if self.frequency_independence else (3, 4)
+        pad = (0, 1) if self.frequency_independence else (1, 1)
+
+        x = ResBlock2d(d, self.frequency_independence, dropout=self.dropout)(
+            z, train
+        )
+        for _ in range(k - 1):
+            for _ in range(self.n_resnet_blocks):
+                x = ResBlock2d(
+                    d, self.frequency_independence, dropout=self.dropout
+                )(x, train)
+            d //= 2
+            x = DecBlock2d(d, self.frequency_independence)(x, train)
+        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad)(x)
+        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad)(x)
+        return x
+
+
+class TimeHead(nn.Module):
+    """Post-iSTFT head: linear resize to input_length plus a residual dense
+    layer over time (reference vq_vae.py:254-263 `Upsample` + `Linear(L, L)`,
+    out = out + linear(out)). The (L, L) dense is the decoder's single
+    largest matmul — ideal MXU work."""
+
+    input_length: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, C, L') channel-first time series
+        from tvqvae_tpu.ops.interp import interp_linear
+
+        x = interp_linear(x, self.input_length)
+        y = nn.Dense(self.input_length)(x)  # acts on last (time) axis
+        return x + y

@@ -1,0 +1,41 @@
+"""Device mesh + sharding helpers.
+
+The pipeline scales by batch data-parallelism over ICI (SURVEY.md §5.8): a
+1-D `data` mesh, batches sharded on axis 0, parameters/codebooks replicated.
+Everything runs under jit with GSPMD — the VQ codebook EMA statistics (the
+reference's only distributed touchpoint, timevqvae/models/vq.py:155,229,234)
+become automatic all-reduces because they are `sum(0)` over the sharded
+batch axis. Multi-host extends this by giving each host its own input shard
+(jax.make_array_from_process_local_data) over the same mesh.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = -1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data == -1:
+        n_data = len(devices)
+    return Mesh(np.asarray(devices[:n_data]).reshape(n_data), ("data",))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 0 (batch) over `data`, replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Fully replicate a pytree (params, opt state, codebooks) on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,93 @@
+"""Stage-1 (VQ-VAE) training step and state.
+
+Replaces the reference Lightning module loop (timevqvae/trainers/stage1.py)
+with a single jitted SPMD step: forward (STFT conv -> encoders -> VQ ->
+decoders), loss (MSE LF + L1 HF + commitment, stage1.py:170-177), AdamW with
+warmup-cosine (stage1.py:229-236), plus the functional side-state advances
+(BatchNorm running stats, VQ codebook EMA). Batches are sharded over the
+`data` mesh axis; parameters/codebooks replicated.
+"""
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import optax
+from flax import struct
+
+from tvqvae_tpu.models.stage1 import Stage1Model, Stage1Spec, stage1_losses
+from tvqvae_tpu.models.vq import CodebookState
+
+
+@struct.dataclass
+class Stage1TrainState:
+    params: Any
+    batch_stats: Any
+    vq_l: CodebookState
+    vq_h: CodebookState
+    opt_state: Any
+    step: jax.Array
+
+
+def create_stage1_state(
+    params, batch_stats, vq_l, vq_h, tx: optax.GradientTransformation
+) -> Stage1TrainState:
+    import jax.numpy as jnp
+
+    return Stage1TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        vq_l=vq_l,
+        vq_h=vq_h,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_stage1_train_step(
+    model: Stage1Model, tx: optax.GradientTransformation
+) -> Callable:
+    """Returns jit-able step(state, x, rng) -> (state, metrics)."""
+
+    def step(
+        state: Stage1TrainState, x: jax.Array, rng: jax.Array
+    ) -> Tuple[Stage1TrainState, Dict[str, jax.Array]]:
+        drng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, state.vq_l, state.vq_h, True,
+                rngs={"dropout": drng},
+                mutable=["batch_stats"],
+            )
+            total, metrics = stage1_losses(out)
+            return total, (out, mut, metrics)
+
+        grads, (out, mut, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = Stage1TrainState(
+            params=params,
+            batch_stats=mut["batch_stats"],
+            vq_l=out.vq_l.state,
+            vq_h=out.vq_h.state,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_stage1_eval_step(model: Stage1Model) -> Callable:
+    def step(state: Stage1TrainState, x: jax.Array):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, state.vq_l, state.vq_h, False,
+        )
+        total, metrics = stage1_losses(out)
+        return metrics, out
+
+    return step
