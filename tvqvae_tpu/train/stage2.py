@@ -1,0 +1,142 @@
+"""Stage-2 (MaskGIT prior) training step and state.
+
+Reference loop: timevqvae/trainers/stage2.py:49-68 — frozen stage-1 encode
+of both bands, random masking, two transformer CE losses. Here the frozen
+stage-1 bundle is an explicit argument (replicated on the mesh) and the
+whole step jit-compiles; batches shard over `data`.
+"""
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tvqvae_tpu.models.maskgit import (
+    FrozenStage1,
+    MaskGITSpec,
+    encode_tokens,
+    masked_ce,
+    random_mask_tokens,
+)
+from tvqvae_tpu.models.stage1 import Stage1Model
+from tvqvae_tpu.models.transformer import BidirectionalTransformer
+
+
+@struct.dataclass
+class Stage2TrainState:
+    params: Any  # {"l": tree, "h": tree}
+    h_stats: Any  # transformer_h batch_stats (Upscale BN)
+    opt_state: Any
+    step: jax.Array
+
+
+def init_stage2(
+    rng: jax.Array,
+    t_l: BidirectionalTransformer,
+    t_h: BidirectionalTransformer,
+    spec: MaskGITSpec,
+    batch: int = 2,
+) -> Tuple[dict, dict]:
+    """Initialize both prior transformers; returns (params, h_stats)."""
+    r_l, r_h, r_d = jax.random.split(rng, 3)
+    s_l = jnp.zeros((batch, spec.tokens_l), jnp.int32)
+    s_h = jnp.zeros((batch, spec.tokens_h), jnp.int32)
+    y = jnp.zeros((batch, 1), jnp.int32)
+    v_l = t_l.init({"params": r_l, "dropout": r_d}, s_l, None, y, False)
+    v_h = t_h.init({"params": r_h, "dropout": r_d}, s_l, s_h, y, False)
+    params = {"l": v_l["params"], "h": v_h["params"]}
+    h_stats = v_h.get("batch_stats", {})
+    return params, h_stats
+
+
+def create_stage2_state(
+    params, h_stats, tx: optax.GradientTransformation
+) -> Stage2TrainState:
+    return Stage2TrainState(
+        params=params,
+        h_stats=h_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_stage2_train_step(
+    stage1_model: Stage1Model,
+    t_l: BidirectionalTransformer,
+    t_h: BidirectionalTransformer,
+    spec: MaskGITSpec,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """step(state, frozen, x, y, rng) -> (state, metrics)."""
+
+    def step(
+        state: Stage2TrainState,
+        frozen: FrozenStage1,
+        x: jax.Array,
+        y: Optional[jax.Array],
+        rng: jax.Array,
+    ) -> Tuple[Stage2TrainState, Dict[str, jax.Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+        r_mask_l, r_mask_h, r_drop_l, r_drop_h = jax.random.split(rng, 4)
+
+        s_l = encode_tokens(stage1_model, frozen, x, "lf")
+        s_h = encode_tokens(stage1_model, frozen, x, "hf")
+
+        s_l_M, keep_l = random_mask_tokens(r_mask_l, s_l, spec.mask_token_l)
+        s_h_M, keep_h = random_mask_tokens(r_mask_h, s_h, spec.mask_token_h)
+
+        def loss_fn(params):
+            logits_l = t_l.apply(
+                {"params": params["l"]}, s_l_M, None, y, True,
+                rngs={"dropout": r_drop_l},
+            )
+            logits_h, mut = t_h.apply(
+                {"params": params["h"], "batch_stats": state.h_stats},
+                s_l_M, s_h_M, y, True,
+                rngs={"dropout": r_drop_h},
+                mutable=["batch_stats"],
+            )
+            ce_l = masked_ce(logits_l, s_l, keep_l)
+            ce_h = masked_ce(logits_h, s_h, keep_h)
+            return ce_l + ce_h, (ce_l, ce_h, mut)
+
+        grads, (ce_l, ce_h, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = Stage2TrainState(
+            params=params,
+            h_stats=mut.get("batch_stats", state.h_stats),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": ce_l + ce_h,
+            "mask_pred_loss": ce_l + ce_h,
+            "mask_pred_loss_l": ce_l,
+            "mask_pred_loss_h": ce_h,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_prior_apply_fns(
+    t_l: BidirectionalTransformer,
+    t_h: BidirectionalTransformer,
+    params,
+    h_stats,
+):
+    """Eval-mode apply closures for the iterative decoder."""
+
+    def apply_l(s_l, class_condition):
+        return t_l.apply({"params": params["l"]}, s_l, None, class_condition, False)
+
+    def apply_h(s_l, s_h, class_condition):
+        return t_h.apply(
+            {"params": params["h"], "batch_stats": h_stats},
+            s_l, s_h, class_condition, False,
+        )
+
+    return apply_l, apply_h
