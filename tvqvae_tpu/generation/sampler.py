@@ -1,0 +1,206 @@
+"""Trained-model sampler: checkpoints -> batched on-device generation.
+
+Reference: timevqvae/generation/sampler.py:27-481 (TrainedModelSampler) and
+utils/sample_utils.py:5-88 (batched unconditional/conditional loops). The
+reference reconstructs whole Lightning modules to fish out subnetworks
+(sampler.py:76-108); here each stage loads from its Orbax checkpoint and the
+entire per-batch pipeline —
+
+    MaskGIT iterative decoding (lax.scan) -> codebook lookup -> frozen
+    stage-1 decoders -> LF+HF sum -> optional fidelity enhancer
+
+— is ONE jitted function, so generation is a single device program per
+batch instead of the reference's per-step Python loop (hot loop #2,
+SURVEY.md §3). Evaluation helpers (feature extraction for generated /
+reconstructed / SVQ round-trip sets, FID/IS/stat metrics, PCA/t-SNE plots)
+mirror reference sampler.py:194-481.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvqvae_tpu.config import Config
+from tvqvae_tpu.models.fidelity_enhancer import FidelityEnhancer
+from tvqvae_tpu.models.maskgit import (
+    MaskGITSpec,
+    build_transformers,
+    decode_tokens,
+    encode_tokens,
+    iterative_decoding,
+)
+from tvqvae_tpu.train.runner import load_stage1_bundle
+from tvqvae_tpu.train.stage2 import make_prior_apply_fns
+from tvqvae_tpu.utils.checkpoint import load_checkpoint
+
+
+class TrainedModelSampler:
+    def __init__(
+        self,
+        cfg: Config,
+        stage1_ckpt: str,
+        stage2_ckpt: str,
+        stage3_ckpt: Optional[str] = None,
+        use_fidelity_enhancer: bool = False,
+        batch_size: int = 32,
+    ):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.use_fe = use_fidelity_enhancer
+
+        self.stage1_model, self.frozen, self.s1_spec, meta = (
+            load_stage1_bundle(cfg, stage1_ckpt)
+        )
+        self.input_length = int(meta["input_length"])
+        self.in_channels = int(meta["in_channels"])
+        self.n_classes = int(meta["n_classes"])
+
+        tree2, _ = load_checkpoint(stage2_ckpt)
+        self.mg_spec = MaskGITSpec.from_config(cfg, self.s1_spec)
+        self.t_l, self.t_h = build_transformers(
+            cfg, self.s1_spec, self.n_classes
+        )
+        self._prior_params = tree2["params"]
+        self._prior_stats = tree2.get("h_stats", {})
+
+        self.fe = None
+        self._fe_params = None
+        self.tau = 0.0
+        if stage3_ckpt is not None:
+            tree3, _ = load_checkpoint(stage3_ckpt)
+            self.fe = FidelityEnhancer(
+                input_length=self.input_length,
+                in_channels=self.in_channels,
+                dim=cfg.fidelity_enhancer.dim,
+                dim_mults=tuple(cfg.fidelity_enhancer.dim_mults),
+                resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
+                dropout=cfg.fidelity_enhancer.dropout,
+            )
+            self._fe_params = tree3["params"]
+            self.tau = float(np.asarray(tree3.get("tau", 0.0)))
+        elif use_fidelity_enhancer:
+            raise ValueError("use_fidelity_enhancer=True needs stage3_ckpt")
+
+        self._apply_l, self._apply_h = make_prior_apply_fns(
+            self.t_l, self.t_h, self._prior_params, self._prior_stats
+        )
+
+        self._sample_batch = jax.jit(
+            self._sample_batch_impl, static_argnames=("num", "class_index")
+        )
+
+    # ------------------------------------------------------------------
+
+    def _sample_batch_impl(
+        self, rng: jax.Array, num: int, class_index: Optional[int]
+    ):
+        s_l, s_h = iterative_decoding(
+            rng, self.mg_spec, self._apply_l, self._apply_h, num, class_index
+        )
+        x_l = decode_tokens(self.stage1_model, self.frozen, s_l, "lf")
+        x_h = decode_tokens(self.stage1_model, self.frozen, s_h, "hf")
+        x = x_l + x_h
+        if self.use_fe:
+            x = self.fe.apply({"params": self._fe_params}, x, False)
+        return x_l, x_h, x
+
+    def sample(
+        self,
+        n_samples: int,
+        kind: str = "unconditional",
+        class_index: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched sampling (reference sample_utils.py:5-88 +
+        sampler.py:140-169). Returns (x_l, x_h, x) host arrays."""
+        assert kind in ("unconditional", "conditional")
+        if kind == "conditional":
+            assert class_index is not None
+        else:
+            class_index = None
+        bs = batch_size or self.batch_size
+        rng = jax.random.key(seed)
+        outs_l, outs_h, outs = [], [], []
+        done = 0
+        while done < n_samples:
+            b = min(bs, n_samples - done)
+            rng, r = jax.random.split(rng)
+            x_l, x_h, x = self._sample_batch(r, bs, class_index)
+            outs_l.append(np.asarray(x_l[:b]))
+            outs_h.append(np.asarray(x_h[:b]))
+            outs.append(np.asarray(x[:b]))
+            done += b
+        return (
+            np.concatenate(outs_l),
+            np.concatenate(outs_h),
+            np.concatenate(outs),
+        )
+
+    # ------------------------------------------------------------------
+    # evaluation-time reconstruction sets (reference sampler.py:194-276)
+
+    def reconstruct(
+        self, x: np.ndarray, svq_temp: Optional[float] = None, seed: int = 0
+    ) -> np.ndarray:
+        """Stage-1 round trip: encode (optionally SVQ-stochastic) + decode.
+        svq_temp=None/0 -> deterministic argmax (compute_z_rec path);
+        svq_temp>0 -> stochastic (compute_z_svq path)."""
+        temp = svq_temp if svq_temp else None
+        rng = jax.random.key(seed)
+        outs = []
+        for s in range(0, x.shape[0], self.batch_size):
+            xb = jnp.asarray(x[s:s + self.batch_size], jnp.float32)
+            rng, r1, r2 = jax.random.split(rng, 3)
+            s_l = encode_tokens(
+                self.stage1_model, self.frozen, xb, "lf", svq_temp=temp, rng=r1
+            )
+            s_h = encode_tokens(
+                self.stage1_model, self.frozen, xb, "hf", svq_temp=temp, rng=r2
+            )
+            x_l = decode_tokens(self.stage1_model, self.frozen, s_l, "lf")
+            x_h = decode_tokens(self.stage1_model, self.frozen, s_h, "hf")
+            outs.append(np.asarray(x_l + x_h))
+        return np.concatenate(outs)
+
+    def enhance(self, x: np.ndarray) -> np.ndarray:
+        """Apply the fidelity enhancer to host samples in batches."""
+        assert self.fe is not None and self._fe_params is not None
+        outs = []
+        for s in range(0, x.shape[0], self.batch_size):
+            xb = jnp.asarray(x[s:s + self.batch_size], jnp.float32)
+            outs.append(
+                np.asarray(self.fe.apply({"params": self._fe_params}, xb, False))
+            )
+        return np.concatenate(outs)
+
+
+def search_optimal_tau(
+    cfg: Config,
+    sampler: TrainedModelSampler,
+    metrics,
+    X_train: np.ndarray,
+    n_samples: int = 1024,
+    tau_search_rng=None,
+    seed: int = 0,
+) -> float:
+    """FID-matching search for the SVQ temperature (reference
+    stage3.py:86-167 — defined there but never called by any entry point;
+    exposed here behind the train CLI's --search_tau flag)."""
+    taus = list(tau_search_rng or cfg.fidelity_enhancer.tau_search_rng)
+    _, _, xhat = sampler.sample(n_samples, "unconditional", seed=seed)
+    z_hat = metrics.compute_z(xhat)
+
+    fids = []
+    for tau in taus:
+        xprime = sampler.reconstruct(X_train, svq_temp=float(tau), seed=seed)
+        z_prime = metrics.compute_z(xprime)
+        fid = metrics.fid_score(z_hat, z_prime)
+        fids.append(float(fid))
+        print(f"[tau-search] tau={tau} fid={fid:.4f}")
+    best = taus[int(np.argmin(fids))]
+    print(f"[tau-search] optimal tau = {best}")
+    return float(best)

@@ -1,0 +1,52 @@
+"""Orbax checkpoint IO.
+
+Replaces the reference's Lightning `save_checkpoint`/`load_from_checkpoint`
+chaining (timevqvae/scripts/train.py:46-50,115-123; models/maskgit.py:52-59)
+with explicit per-stage param trees plus a JSON meta sidecar carrying the
+static info sampling-time code needs (config snapshot, input geometry,
+scaler state, FE tau — SURVEY.md §5.4).
+
+Unlike the reference (no mid-run checkpoints, `enable_checkpointing=False`),
+train loops here may save periodically and resume: the full train state
+(params, batch stats, VQ codebooks, optimizer state, step) round-trips.
+"""
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> None:
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = jax.tree.map(np.asarray, tree)
+    ckptr.save(path, tree, force=True)
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2, default=_json_default)
+
+
+def load_checkpoint(path: str) -> Tuple[Any, Optional[dict]]:
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(path)
+    meta = None
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
