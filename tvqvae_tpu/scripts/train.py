@@ -1,0 +1,107 @@
+"""Train CLI: chains stage-1 -> stage-2 -> stage-3 (reference
+timevqvae/scripts/train.py:128-194; same surface: --config, --dataset_file,
+--stage, --model_save_dir).
+
+Checkpoints land in <model_save_dir>/<dataset-stem>/stage{N} with JSON meta
+sidecars; metrics go to a JSONL run dir (and MLflow when configured).
+"""
+
+import argparse
+import os
+from pathlib import Path
+
+from tvqvae_tpu.config import Config
+from tvqvae_tpu.data import get_data
+from tvqvae_tpu.train import runner
+from tvqvae_tpu.utils.logging import RunLogger
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Train TimeVQVAE-TPU stages")
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML config (reference schema); defaults built in")
+    p.add_argument("--dataset_file", type=str, required=True,
+                   help=".npz (X,y) or pickled traffic.Traffic")
+    p.add_argument("--stage", type=str, default="all",
+                   choices=["all", "1", "2", "3", "fcn"])
+    p.add_argument("--model_save_dir", type=str, default="saved_models")
+    p.add_argument("--run_dir", type=str, default="runs")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="override the per-stage step budget")
+    p.add_argument("--search_tau", action="store_true",
+                   help="run the FID-matching SVQ-temperature search before "
+                        "stage 3 (reference defines but never calls it)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="use the fused Pallas VQ kernel in stage 1")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    data = get_data(args.dataset_file, cfg.dataset.features,
+                    scale=cfg.dataset.data_scaling)
+    stem = Path(args.dataset_file).stem
+    ckpt_dir = os.path.join(args.model_save_dir, stem)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    paths = {s: os.path.join(ckpt_dir, f"stage{s}") for s in ("1", "2", "3")}
+    paths["fcn"] = os.path.join(ckpt_dir, "fcn")
+
+    def logger(stage):
+        return RunLogger(
+            os.path.join(args.run_dir, f"{stem}_{stage}"),
+            experiment_name=cfg.logger.experiment_name,
+            run_name=f"{stem}_{stage}",
+            mlflow_uri=cfg.logger.mlflow_uri,
+        )
+
+    stages = ["1", "2", "3"] if args.stage == "all" else [args.stage]
+    for stage in stages:
+        log = logger(f"stage{stage}" if stage != "fcn" else "fcn")
+        try:
+            if stage == "1":
+                runner.train_stage1(
+                    cfg, data, paths["1"], log, max_steps=args.max_steps,
+                    use_pallas=args.use_pallas, seed=args.seed,
+                )
+            elif stage == "2":
+                runner.train_stage2(
+                    cfg, data, paths["1"], paths["2"], log,
+                    max_steps=args.max_steps, seed=args.seed,
+                )
+            elif stage == "3":
+                tau = 0.0
+                if args.search_tau:
+                    from tvqvae_tpu.evaluation import Metrics
+                    from tvqvae_tpu.generation import (
+                        TrainedModelSampler,
+                        search_optimal_tau,
+                    )
+
+                    sampler = TrainedModelSampler(
+                        cfg, paths["1"], paths["2"],
+                        batch_size=cfg.evaluation.batch_size,
+                    )
+                    metrics = Metrics(
+                        data.input_length, data.in_channels, data.n_classes,
+                        cfg.evaluation.batch_size, data.X_train, data.X_test,
+                        feature_extractor_type="rocket",
+                    )
+                    tau = search_optimal_tau(
+                        cfg, sampler, metrics, data.X_train,
+                        n_samples=cfg.evaluation.min_num_gen_samples,
+                    )
+                runner.train_stage3(
+                    cfg, data, paths["1"], paths["3"], log,
+                    max_steps=args.max_steps, tau=tau, seed=args.seed,
+                )
+            elif stage == "fcn":
+                runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)
+        finally:
+            log.close()
+    print(f"checkpoints in {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Plotting utilities (host-side matplotlib).
+
+Reference: timevqvae/utils/plot_utils.py (trajectory/cluster/altitude plots)
+and the inline validation plots in trainers/sampler (stage1.py:138-167,
+stage2.py:121-140, stage3.py:264-360, sampler.py:370-481). Cartopy/Basemap
+map backgrounds are optional in this environment; all plots degrade to plain
+lat/lon axes when the geo stack is unavailable.
+"""
+
+from typing import Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+
+def plot_reconstruction(x_l, xhat_l, x_h, xhat_h, b: int, c: int, step: int):
+    """Stage-1 validation plot (reference stage1.py:138-167)."""
+    fig, axes = plt.subplots(3, 1, figsize=(4, 6))
+    fig.suptitle(f"step-{step} | channel {c} (blue: GT, orange: recon)")
+    pairs = [
+        (x_l[b, c], xhat_l[b, c], r"$x_l$ (LF)"),
+        (x_h[b, c], xhat_h[b, c], r"$x_h$ (HF)"),
+        (x_l[b, c] + x_h[b, c], xhat_l[b, c] + xhat_h[b, c], r"$x$ (LF+HF)"),
+    ]
+    for ax, (gt, rec, title) in zip(axes, pairs):
+        ax.plot(np.asarray(gt), alpha=0.7)
+        ax.plot(np.asarray(rec), alpha=0.7)
+        ax.set_title(title)
+        ax.set_ylim(-4, 4)
+    fig.tight_layout()
+    return fig
+
+
+def plot_generated(x_l, x_h, x, b: int, c: int, step: int, title=""):
+    """Stage-2 sampling plot (reference stage2.py:121-140)."""
+    fig, axes = plt.subplots(3, 1, figsize=(4, 6))
+    fig.suptitle(f"step-{step} | channel {c} {title}")
+    for ax, (arr, t) in zip(
+        axes,
+        [(x_l, r"$\hat{x}_l$"), (x_h, r"$\hat{x}_h$"), (x, r"$\hat{x}$")],
+    ):
+        ax.plot(np.asarray(arr)[b, c])
+        ax.set_title(t)
+        ax.set_ylim(-4, 4)
+    fig.tight_layout()
+    return fig
+
+
+def plot_visual_inspection(
+    X_real, X_gen, n: int = 30, title: str = "visual inspection"
+):
+    """Overlay grids of real vs generated series per channel
+    (reference sampler.py:370-411)."""
+    C = X_real.shape[1]
+    fig, axes = plt.subplots(2, C, figsize=(3 * C, 5), squeeze=False)
+    fig.suptitle(title)
+    for c in range(C):
+        for row, data, name in [(0, X_real, "real"), (1, X_gen, "generated")]:
+            ax = axes[row][c]
+            for i in range(min(n, data.shape[0])):
+                ax.plot(np.asarray(data)[i, c], alpha=0.2, color="C0")
+            ax.set_title(f"{name} ch{c}")
+    fig.tight_layout()
+    return fig
+
+
+def plot_pca(z_sets: Sequence[np.ndarray], labels: Sequence[str],
+             n: int = 1024, title: str = "PCA"):
+    """PCA scatter; fits on the first set, projects the rest
+    (reference sampler.py:413-435, stage3.py:348-360)."""
+    from sklearn.decomposition import PCA
+
+    pca = PCA(n_components=2, random_state=0)
+    fig = plt.figure(figsize=(4, 4))
+    plt.title(title)
+    for i, (z, label) in enumerate(zip(z_sets, labels)):
+        idx = np.random.RandomState(0).choice(
+            z.shape[0], size=min(n, z.shape[0]), replace=True
+        )
+        emb = pca.fit_transform(z[idx]) if i == 0 else pca.transform(z[idx])
+        plt.scatter(emb[:, 0], emb[:, 1], alpha=0.1, label=label)
+    plt.legend(loc="upper right")
+    plt.tight_layout()
+    return fig
+
+
+def plot_tsne(z_sets, labels, n: int = 512, title: str = "t-SNE"):
+    """Joint t-SNE embedding (reference sampler.py:437-481)."""
+    from sklearn.manifold import TSNE
+
+    rng = np.random.RandomState(0)
+    subs, tags = [], []
+    for z, label in zip(z_sets, labels):
+        idx = rng.choice(z.shape[0], size=min(n, z.shape[0]), replace=True)
+        subs.append(z[idx])
+        tags.extend([label] * len(idx))
+    emb = TSNE(
+        n_components=2, random_state=0, init="random",
+        perplexity=min(30, max(2, len(tags) // 4)),
+    ).fit_transform(np.concatenate(subs))
+    fig = plt.figure(figsize=(4, 4))
+    plt.title(title)
+    start = 0
+    for z, label in zip(subs, labels):
+        e = emb[start:start + len(z)]
+        plt.scatter(e[:, 0], e[:, 1], alpha=0.1, label=label)
+        start += len(z)
+    plt.legend(loc="upper right")
+    plt.tight_layout()
+    return fig
+
+
+def plot_trajectories(
+    X: np.ndarray,
+    lat_idx: int = 0,
+    lon_idx: int = 1,
+    labels: Optional[np.ndarray] = None,
+    title: str = "trajectories",
+    max_n: int = 200,
+):
+    """Lat/lon trajectory plot, cluster-colored when labels given
+    (reference plot_utils.py:63-146; map background omitted without
+    cartopy)."""
+    fig = plt.figure(figsize=(5, 5))
+    plt.title(title)
+    n = min(max_n, X.shape[0])
+    if labels is None:
+        for i in range(n):
+            plt.plot(X[i, lon_idx], X[i, lat_idx], alpha=0.2, color="C0")
+    else:
+        for i in range(n):
+            plt.plot(
+                X[i, lon_idx], X[i, lat_idx], alpha=0.3,
+                color=f"C{int(labels[i]) % 10}",
+            )
+    plt.xlabel("longitude")
+    plt.ylabel("latitude")
+    plt.tight_layout()
+    return fig
+
+
+def plot_altitude(X: np.ndarray, alt_idx: int = 2, title: str = "altitude",
+                  max_n: int = 200):
+    """Altitude profiles (reference plot_utils.py:306-384)."""
+    fig = plt.figure(figsize=(5, 3))
+    plt.title(title)
+    for i in range(min(max_n, X.shape[0])):
+        plt.plot(X[i, alt_idx], alpha=0.2, color="C0")
+    plt.xlabel("timestep")
+    plt.ylabel("altitude")
+    plt.tight_layout()
+    return fig
