@@ -215,3 +215,33 @@ def test_calculate_trajectory_distances_bundle():
     assert set(out) == keys
     assert all(np.isfinite(v) for v in out.values())
     assert out["Frechet"] <= out["Discrete Frechet"] + 1e-5
+
+
+def test_bucket_padding_invariance():
+    """Padded trajectories + true lengths must reproduce unpadded values."""
+    import jax.numpy as jnp
+    from tvqvae_tpu.evaluation.flyability.distances import _bucket_pad, frechet_jax
+
+    rng = np.random.default_rng(3)
+    p = (np.cumsum(rng.normal(0, 0.05, (13, 2)), axis=0) + [48, 5]).astype(np.float32)
+    q = (np.cumsum(rng.normal(0, 0.05, (21, 2)), axis=0) + [48, 5]).astype(np.float32)
+    g = np.array([47.0, 4.0], np.float32)
+    pp, qq = jnp.asarray(_bucket_pad(p)), jnp.asarray(_bucket_pad(q))
+    assert pp.shape[0] == 32 and qq.shape[0] == 32
+    n, m = len(p), len(q)
+
+    for fn, args in [
+        (dtw, ()), (erp, (jnp.asarray(g),)), (discret_frechet, ()),
+        (sspd, ()), (hausdorff, ()),
+    ]:
+        a = float(fn(jnp.asarray(p), jnp.asarray(q), *args))
+        b = float(fn(pp, qq, *args, n=n, m=m))
+        np.testing.assert_allclose(a, b, rtol=1e-4), fn
+    for fn, eps in [(lcss, 0.05), (edr, 0.05)]:
+        a = float(fn(jnp.asarray(p), jnp.asarray(q), eps))
+        b = float(fn(pp, qq, eps, n=n, m=m))
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+    # repeated-endpoint padding exact for continuous Frechet
+    a = float(frechet_jax(jnp.asarray(p), jnp.asarray(q)))
+    b = float(frechet_jax(pp, qq))
+    np.testing.assert_allclose(a, b, rtol=1e-4)

@@ -165,122 +165,185 @@ def _clamp_scan(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("metric",))
-def dtw(p, q, metric: str = "euclidean"):
-    """Dynamic time warping (reference dtw.py:15-78)."""
+def dtw(p, q, metric: str = "euclidean", n=None, m=None):
+    """Dynamic time warping (reference dtw.py:15-78).
+
+    n/m (traced) give the true lengths when p/q are padded to a bucket
+    shape; the answer is read at the true (n-1, m-1) corner (padding never
+    propagates leftward/upward in the DP)."""
+    P, Q = p.shape[0], q.shape[0]
+    n = jnp.asarray(P if n is None else n, jnp.int32)
+    m = jnp.asarray(Q if m is None else m, jnp.int32)
     C = _pair_dists(p, q, metric)  # (P, Q)
     row0 = jnp.cumsum(C[0])
+    best0 = jnp.where(n == 1, row0[m - 1], BIG)
 
-    def body(prev, c):
+    def body(carry, inp):
+        prev, best = carry
+        c, i = inp
         prev_shift = jnp.concatenate([jnp.array([BIG]), prev[:-1]])
         b = c + jnp.minimum(prev, prev_shift)
         b = b.at[0].set(c[0] + prev[0])
         dp = _minplus_scan(c, b)
-        return dp, None
+        best = jnp.where(i == n - 1, dp[m - 1], best)
+        return (dp, best), None
 
-    last, _ = jax.lax.scan(body, row0, C[1:])
-    return last[-1] if C.shape[0] > 1 else row0[-1]
+    (_, best), _ = jax.lax.scan(
+        body, (row0, best0), (C[1:], jnp.arange(1, P))
+    )
+    return best
 
 
 @partial(jax.jit, static_argnames=("metric",))
-def erp(p, q, g, metric: str = "euclidean"):
+def erp(p, q, g, metric: str = "euclidean", n=None, m=None):
     """Edit distance with real penalty (reference erp.py; note the traj-dist
     borders: C[1:,0] = TOTAL gap sum over p, C[0,1:] = TOTAL gap sum over q,
-    erp.py:40-41)."""
+    erp.py:40-41). n/m: true lengths under bucket padding."""
+    P, Q = p.shape[0], q.shape[0]
+    n = jnp.asarray(P if n is None else n, jnp.int32)
+    m = jnp.asarray(Q if m is None else m, jnp.int32)
     C = _pair_dists(p, q, metric)  # (P, Q)
     gp = _pair_dists(p, g[None, :], metric)[:, 0]  # (P,)
     gq = _pair_dists(q, g[None, :], metric)[:, 0]  # (Q,)
-    Sgp, Sgq = jnp.sum(gp), jnp.sum(gq)
-    Q = C.shape[1]
+    valid_p = jnp.arange(P) < n
+    valid_q = jnp.arange(Q) < m
+    gp = jnp.where(valid_p, gp, 0.0)
+    gq_masked = jnp.where(valid_q, gq, 0.0)
+    Sgp, Sgq = jnp.sum(gp), jnp.sum(gq_masked)
 
     # augmented rows of length Q+1: index 0 is the DP border column
     a = jnp.concatenate([jnp.zeros(1), gq])  # in-row gap costs
     prev0 = jnp.concatenate([jnp.zeros(1), jnp.full((Q,), Sgq)])
+    best0 = jnp.where(n == 0, prev0[m], BIG)
 
-    def body(prev, inp):
-        c, gpi = inp
+    def body(carry, inp):
+        prev, best = carry
+        c, gpi, i = inp
         diag = prev[:-1] + c  # dp[i-1][j-1] + d(p_i, q_j)
         up = prev[1:] + gpi  # dp[i-1][j] + d(p_i, g)
         b = jnp.concatenate([jnp.array([Sgp]), jnp.minimum(diag, up)])
         dp = _minplus_scan(a, b)
-        return dp, None
+        best = jnp.where(i == n - 1, dp[m], best)
+        return (dp, best), None
 
-    last, _ = jax.lax.scan(body, prev0, (C, gp))
-    return last[-1]
+    (_, best), _ = jax.lax.scan(
+        body, (prev0, best0), (C, gp, jnp.arange(P))
+    )
+    return best
 
 
 @partial(jax.jit, static_argnames=("metric",))
-def edr(p, q, eps: float, metric: str = "euclidean"):
+def edr(p, q, eps: float, metric: str = "euclidean", n=None, m=None):
     """Edit distance on real sequences / max(n, m) (reference edr.py;
     zero borders as in traj-dist, edr.py:33)."""
+    P, Q = p.shape[0], q.shape[0]
+    n = jnp.asarray(P if n is None else n, jnp.int32)
+    m = jnp.asarray(Q if m is None else m, jnp.int32)
     C = _pair_dists(p, q, metric)
     sub = (C >= eps).astype(jnp.float32)  # 0 if match else 1
-    P, Q = C.shape
     a = jnp.concatenate([jnp.zeros(1), jnp.ones(Q)])
     prev0 = jnp.zeros(Q + 1)
+    best0 = jnp.where(n == 0, prev0[m], BIG)
 
-    def body(prev, s):
+    def body(carry, inp):
+        prev, best = carry
+        s, i = inp
         diag = prev[:-1] + s
         up = prev[1:] + 1.0
         b = jnp.concatenate([jnp.zeros(1), jnp.minimum(diag, up)])
         dp = _minplus_scan(a, b)
-        return dp, None
+        best = jnp.where(i == n - 1, dp[m], best)
+        return (dp, best), None
 
-    last, _ = jax.lax.scan(body, prev0, sub)
-    return last[-1] / jnp.float32(max(P, Q))
+    (_, best), _ = jax.lax.scan(body, (prev0, best0), (sub, jnp.arange(P)))
+    return best / jnp.maximum(n, m).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("metric",))
-def lcss(p, q, eps: float, metric: str = "euclidean"):
+def lcss(p, q, eps: float, metric: str = "euclidean", n=None, m=None):
     """1 - LCSS/min(n, m) (reference lcss.py)."""
+    P, Q = p.shape[0], q.shape[0]
+    n = jnp.asarray(P if n is None else n, jnp.int32)
+    m = jnp.asarray(Q if m is None else m, jnp.int32)
     C = _pair_dists(p, q, metric)
     match = (C < eps).astype(jnp.float32)
-    P, Q = C.shape
     prev0 = jnp.zeros(Q + 1)
+    best0 = jnp.where(n == 0, prev0[m], 0.0)
 
-    def body(prev, mt):
+    def body(carry, inp):
+        prev, best = carry
+        mt, i = inp
         b = jnp.concatenate(
             [jnp.zeros(1), jnp.maximum(prev[:-1] + mt, prev[1:])]
         )
         dp = jax.lax.associative_scan(jnp.maximum, b)
-        return dp, None
+        best = jnp.where(i == n - 1, dp[m], best)
+        return (dp, best), None
 
-    last, _ = jax.lax.scan(body, prev0, match)
-    return 1.0 - last[-1] / jnp.float32(min(P, Q))
+    (_, best), _ = jax.lax.scan(body, (prev0, best0), (match, jnp.arange(P)))
+    return 1.0 - best / jnp.minimum(n, m).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("metric",))
-def discret_frechet(p, q, metric: str = "euclidean"):
+def discret_frechet(p, q, metric: str = "euclidean", n=None, m=None):
     """Discrete Frechet distance (reference discret_frechet.py:10-37)."""
+    P, Q = p.shape[0], q.shape[0]
+    n = jnp.asarray(P if n is None else n, jnp.int32)
+    m = jnp.asarray(Q if m is None else m, jnp.int32)
     C = _pair_dists(p, q, metric)
     row0 = jax.lax.associative_scan(jnp.maximum, C[0])
+    best0 = jnp.where(n == 1, row0[m - 1], BIG)
 
-    def body(prev, c):
+    def body(carry, inp):
+        prev, best = carry
+        c, i = inp
         prev_shift = jnp.concatenate([jnp.array([BIG]), prev[:-1]])
         mcol = jnp.minimum(prev, prev_shift)
         lo = c.at[0].set(jnp.maximum(c[0], prev[0]))
         hi = mcol.at[0].set(jnp.maximum(c[0], prev[0]))
         dp = _clamp_scan(lo, hi)
-        return dp, None
+        best = jnp.where(i == n - 1, dp[m - 1], best)
+        return (dp, best), None
 
-    last, _ = jax.lax.scan(body, row0, C[1:])
-    return last[-1] if C.shape[0] > 1 else row0[-1]
+    (_, best), _ = jax.lax.scan(
+        body, (row0, best0), (C[1:], jnp.arange(1, P))
+    )
+    return best
+
+
+def _masked_pts_to_traj(pts, traj, metric, n_pts):
+    """Point-to-trajectory distances with the points side masked. The
+    trajectory side is assumed padded by REPEATING its last point, which
+    adds only zero-length segments and leaves min-over-segments intact."""
+    d = _pts_to_traj(pts, traj, metric)
+    return d, jnp.arange(pts.shape[0]) < n_pts
 
 
 @partial(jax.jit, static_argnames=("metric",))
-def sspd(p, q, metric: str = "euclidean"):
+def sspd(p, q, metric: str = "euclidean", n=None, m=None):
     """Symmetrized segment-path distance (reference sspd.py:51,135)."""
-    d_pq = jnp.mean(_pts_to_traj(p, q, metric))
-    d_qp = jnp.mean(_pts_to_traj(q, p, metric))
-    return (d_pq + d_qp) / 2.0
+    P, Q = p.shape[0], q.shape[0]
+    n = jnp.asarray(P if n is None else n, jnp.int32)
+    m = jnp.asarray(Q if m is None else m, jnp.int32)
+    d_pq, v_p = _masked_pts_to_traj(p, q, metric, n)
+    d_qp, v_q = _masked_pts_to_traj(q, p, metric, m)
+    mean_pq = jnp.sum(jnp.where(v_p, d_pq, 0.0)) / n.astype(jnp.float32)
+    mean_qp = jnp.sum(jnp.where(v_q, d_qp, 0.0)) / m.astype(jnp.float32)
+    return (mean_pq + mean_qp) / 2.0
 
 
 @partial(jax.jit, static_argnames=("metric",))
-def hausdorff(p, q, metric: str = "euclidean"):
+def hausdorff(p, q, metric: str = "euclidean", n=None, m=None):
     """Symmetric Hausdorff over point-to-trajectory distances
     (reference hausdorff.py:46,117)."""
+    P, Q = p.shape[0], q.shape[0]
+    n = jnp.asarray(P if n is None else n, jnp.int32)
+    m = jnp.asarray(Q if m is None else m, jnp.int32)
+    d_pq, v_p = _masked_pts_to_traj(p, q, metric, n)
+    d_qp, v_q = _masked_pts_to_traj(q, p, metric, m)
     return jnp.maximum(
-        jnp.max(_pts_to_traj(p, q, metric)),
-        jnp.max(_pts_to_traj(q, p, metric)),
+        jnp.max(jnp.where(v_p, d_pq, -jnp.inf)),
+        jnp.max(jnp.where(v_q, d_qp, -jnp.inf)),
     )
 
 
@@ -435,6 +498,19 @@ def frechet(p: np.ndarray, q: np.ndarray) -> float:
 # the 14-metric bundle (reference flyability_eval.py:271-351)
 
 
+def _bucket_pad(x: np.ndarray, min_size: int = 32) -> np.ndarray:
+    """Pad a (n, 2) trajectory to the next power-of-two bucket by repeating
+    its last point, bounding the number of compiled DP shapes to
+    O(log^2 max_len). Repeated-endpoint padding adds only zero-length
+    segments (exact for SSPD/Hausdorff/Frechet); the DP metrics read their
+    answer at the true corner via the n/m arguments."""
+    n = x.shape[0]
+    size = max(min_size, 1 << (n - 1).bit_length())
+    if size == n:
+        return x
+    return np.concatenate([x, np.repeat(x[-1:], size - n, axis=0)])
+
+
 def calculate_trajectory_distances(
     gen_traj: np.ndarray,
     sim_traj: np.ndarray,
@@ -443,22 +519,30 @@ def calculate_trajectory_distances(
 ) -> Dict[str, float]:
     """One flight pair: (n, 2) / (m, 2) [lat, lon] arrays -> the reference's
     14 metrics with its exact key names and epsilon conventions."""
-    p = jnp.asarray(gen_traj, jnp.float32)
-    q = jnp.asarray(sim_traj, jnp.float32)
+    n, m = len(gen_traj), len(sim_traj)
+    p = jnp.asarray(_bucket_pad(np.asarray(gen_traj)), jnp.float32)
+    q = jnp.asarray(_bucket_pad(np.asarray(sim_traj)), jnp.float32)
     g = jnp.asarray(adep_latlon, jnp.float32)
     return {
-        "SSPD Euclidean": float(sspd(p, q, metric="euclidean")),
-        "SSPD Spherical": float(sspd(p, q, metric="spherical")),
-        "DTW Euclidean": float(dtw(p, q, metric="euclidean")),
-        "DTW Spherical": float(dtw(p, q, metric="spherical")),
-        "Hausdorff Euclidean": float(hausdorff(p, q, metric="euclidean")),
-        "Hausdorff Spherical": float(hausdorff(p, q, metric="spherical")),
-        "LCSS Euclidean": float(lcss(p, q, eps, metric="euclidean")),
-        "LCSS Spherical": float(lcss(p, q, eps * 1e6, metric="spherical")),
-        "ERP Euclidean": float(erp(p, q, g, metric="euclidean")),
-        "ERP Spherical": float(erp(p, q, g, metric="spherical")),
-        "EDR Euclidean": float(edr(p, q, eps, metric="euclidean")),
-        "EDR Spherical": float(edr(p, q, eps, metric="spherical")),
-        "Discrete Frechet": float(discret_frechet(p, q)),
-        "Frechet": frechet(np.asarray(gen_traj), np.asarray(sim_traj)),
+        "SSPD Euclidean": float(sspd(p, q, metric="euclidean", n=n, m=m)),
+        "SSPD Spherical": float(sspd(p, q, metric="spherical", n=n, m=m)),
+        "DTW Euclidean": float(dtw(p, q, metric="euclidean", n=n, m=m)),
+        "DTW Spherical": float(dtw(p, q, metric="spherical", n=n, m=m)),
+        "Hausdorff Euclidean": float(
+            hausdorff(p, q, metric="euclidean", n=n, m=m)
+        ),
+        "Hausdorff Spherical": float(
+            hausdorff(p, q, metric="spherical", n=n, m=m)
+        ),
+        "LCSS Euclidean": float(lcss(p, q, eps, metric="euclidean", n=n, m=m)),
+        "LCSS Spherical": float(
+            lcss(p, q, eps * 1e6, metric="spherical", n=n, m=m)
+        ),
+        "ERP Euclidean": float(erp(p, q, g, metric="euclidean", n=n, m=m)),
+        "ERP Spherical": float(erp(p, q, g, metric="spherical", n=n, m=m)),
+        "EDR Euclidean": float(edr(p, q, eps, metric="euclidean", n=n, m=m)),
+        "EDR Spherical": float(edr(p, q, eps, metric="spherical", n=n, m=m)),
+        "Discrete Frechet": float(discret_frechet(p, q, n=n, m=m)),
+        # repeated-endpoint padding is exact for the continuous Frechet
+        "Frechet": float(frechet_jax(p, q)),
     }

@@ -33,6 +33,9 @@ def build_argparser():
                         "stage 3 (reference defines but never calls it)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas VQ kernel in stage 1")
+    p.add_argument("--no_val_metrics", action="store_true",
+                   help="skip validation-time sampling metrics "
+                        "(running_metrics/FID etc.) in stages 2/3")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -56,6 +59,19 @@ def main(argv=None):
             mlflow_uri=cfg.logger.mlflow_uri,
         )
 
+    val_metrics = None
+    if not args.no_val_metrics and any(
+        s in ("2", "3") for s in (["1", "2", "3"] if args.stage == "all"
+                                  else [args.stage])
+    ):
+        from tvqvae_tpu.evaluation import Metrics
+
+        val_metrics = Metrics(
+            data.input_length, data.in_channels, data.n_classes,
+            cfg.evaluation.batch_size, data.X_train, data.X_test,
+            feature_extractor_type="rocket",
+        )
+
     stages = ["1", "2", "3"] if args.stage == "all" else [args.stage]
     for stage in stages:
         log = logger(f"stage{stage}" if stage != "fcn" else "fcn")
@@ -69,6 +85,7 @@ def main(argv=None):
                 runner.train_stage2(
                     cfg, data, paths["1"], paths["2"], log,
                     max_steps=args.max_steps, seed=args.seed,
+                    metrics=val_metrics,
                 )
             elif stage == "3":
                 tau = 0.0
@@ -95,6 +112,9 @@ def main(argv=None):
                 runner.train_stage3(
                     cfg, data, paths["1"], paths["3"], log,
                     max_steps=args.max_steps, tau=tau, seed=args.seed,
+                    stage2_ckpt=paths["2"] if os.path.exists(paths["2"])
+                    else None,
+                    metrics=val_metrics,
                 )
             elif stage == "fcn":
                 runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)

@@ -116,12 +116,18 @@ def _loop(
     val_interval: int,
     log_interval: int = 100,
 ):
+    from tvqvae_tpu.utils.profiling import StepTimer
+
+    timer = StepTimer()
     t0 = time.time()
     for step in range(1, max_steps + 1):
         metrics = train_once(step)
+        timer.tick()
         if logger and (step % log_interval == 0 or step == max_steps):
             logger.log_metrics(
-                {f"train/{k}": float(v) for k, v in metrics.items()}, step
+                {f"train/{k}": float(v) for k, v in metrics.items()}
+                | timer.summary(),
+                step,
             )
         if step % max(val_interval, 1) == 0 or step == max_steps:
             val = eval_once(step) if eval_once else {}
@@ -215,6 +221,8 @@ def train_stage2(
     logger: Optional[RunLogger] = None,
     max_steps: Optional[int] = None,
     seed: int = 0,
+    metrics=None,
+    val_n_samples: Optional[int] = None,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage2", 16)
@@ -246,10 +254,41 @@ def train_stage2(
     def train_once(step):
         xb, yb = next(batches)
         xb, yb = shard_batch(mesh, (jnp.asarray(xb), jnp.asarray(yb)))
-        state_box[0], metrics = step_fn(state_box[0], frozen, xb, yb, rng)
-        return metrics
+        state_box[0], m = step_fn(state_box[0], frozen, xb, yb, rng)
+        return m
 
-    _loop("stage2", max_steps, train_once, None, logger,
+    # validation-time sampling metrics (reference stage2.py:87-109)
+    eval_once = None
+    if metrics is not None:
+        from tvqvae_tpu.train.stage2 import make_sampling_fn
+
+        sample_fn = make_sampling_fn(model, frozen, t_l, t_h, spec)
+        n_val = val_n_samples or min(
+            cfg.evaluation.min_num_gen_samples, 1024
+        )
+        vbatch = cfg.evaluation.batch_size
+
+        def eval_once(step):
+            st = state_box[0]
+            vrng = jax.random.key(10_000 + step)
+            xs = []
+            done = 0
+            while done < n_val:
+                vrng, r = jax.random.split(vrng)
+                _, _, x = sample_fn(st.params, st.h_stats, r, vbatch, None)
+                xs.append(np.asarray(x))
+                done += vbatch
+            x = np.concatenate(xs)[:n_val]
+            z = metrics.z_gen_fn(x)
+            fid = metrics.fid_score(metrics.z_test, z)
+            mdd, acd, sd, kd = metrics.stat_metrics(metrics.X_test, x)
+            return {
+                "running_metrics/FID": fid, "running_metrics/MDD": mdd,
+                "running_metrics/ACD": acd, "running_metrics/SD": sd,
+                "running_metrics/KD": kd,
+            }
+
+    _loop("stage2", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage2", 10000))
 
     state = state_box[0]
@@ -274,6 +313,9 @@ def train_stage3(
     max_steps: Optional[int] = None,
     tau: float = 0.0,
     seed: int = 0,
+    stage2_ckpt: Optional[str] = None,
+    metrics=None,
+    val_n_samples: Optional[int] = None,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
@@ -316,10 +358,60 @@ def train_stage3(
     def train_once(step):
         xb, _ = next(batches)
         xb = shard_batch(mesh, jnp.asarray(xb))
-        state_box[0], metrics = step_fn(state_box[0], frozen, xb, rng)
-        return metrics
+        state_box[0], m = step_fn(state_box[0], frozen, xb, rng)
+        return m
 
-    _loop("stage3", max_steps, train_once, None, logger,
+    # validation-time sampling metrics with/without FE
+    # (reference stage3.py:264-336)
+    eval_once = None
+    if metrics is not None and stage2_ckpt is not None:
+        from tvqvae_tpu.models.maskgit import MaskGITSpec, build_transformers
+        from tvqvae_tpu.train.stage2 import make_sampling_fn
+        from tvqvae_tpu.utils.checkpoint import load_checkpoint
+
+        tree2, _ = load_checkpoint(stage2_ckpt)
+        spec = MaskGITSpec.from_config(cfg, s1)
+        t_l, t_h = build_transformers(cfg, s1, data.n_classes)
+        sample_fn = make_sampling_fn(model, frozen, t_l, t_h, spec)
+        fe_apply = jax.jit(
+            lambda p, x: fe.apply({"params": p}, x, False)
+        )
+        n_val = val_n_samples or min(
+            cfg.evaluation.min_num_gen_samples, 1024
+        )
+        vbatch = cfg.evaluation.batch_size
+
+        def eval_once(step):
+            st = state_box[0]
+            vrng = jax.random.key(20_000 + step)
+            xs = []
+            done = 0
+            while done < n_val:
+                vrng, r = jax.random.split(vrng)
+                _, _, x = sample_fn(
+                    tree2["params"], tree2.get("h_stats", {}), r, vbatch, None
+                )
+                xs.append(np.asarray(x))
+                done += vbatch
+            x = np.concatenate(xs)[:n_val]
+            x_fe = np.concatenate([
+                np.asarray(fe_apply(st.params, jnp.asarray(x[i:i + vbatch])))
+                for i in range(0, len(x), vbatch)
+            ])
+            out = {}
+            for tag, arr in [("", x), (" with FE", x_fe)]:
+                z = metrics.z_gen_fn(arr)
+                out[f"running_metrics/FID{tag}"] = metrics.fid_score(
+                    metrics.z_test, z
+                )
+                mdd, acd, sd, kd = metrics.stat_metrics(metrics.X_test, arr)
+                out[f"running_metrics/MDD{tag}"] = mdd
+                out[f"running_metrics/ACD{tag}"] = acd
+                out[f"running_metrics/SD{tag}"] = sd
+                out[f"running_metrics/KD{tag}"] = kd
+            return out
+
+    _loop("stage3", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage3", 2500))
 
     state = state_box[0]

@@ -122,6 +122,42 @@ def make_stage2_train_step(
     return step
 
 
+def make_sampling_fn(
+    stage1_model,
+    frozen: FrozenStage1,
+    t_l: BidirectionalTransformer,
+    t_h: BidirectionalTransformer,
+    spec: MaskGITSpec,
+):
+    """Jitted sampler over *current* prior params (used for validation-time
+    metrics inside stage-2/3 training, reference stage2.py:87-109).
+
+    Returns fn(params, h_stats, rng, num, class_index) -> (x_l, x_h, x).
+    """
+    import jax as _jax
+
+    from tvqvae_tpu.models.maskgit import decode_tokens, iterative_decoding
+
+    def sample(params, h_stats, rng, num: int, class_index):
+        def apply_l(s_l, cond):
+            return t_l.apply({"params": params["l"]}, s_l, None, cond, False)
+
+        def apply_h(s_l, s_h, cond):
+            return t_h.apply(
+                {"params": params["h"], "batch_stats": h_stats},
+                s_l, s_h, cond, False,
+            )
+
+        s_l, s_h = iterative_decoding(
+            rng, spec, apply_l, apply_h, num, class_index
+        )
+        x_l = decode_tokens(stage1_model, frozen, s_l, "lf")
+        x_h = decode_tokens(stage1_model, frozen, s_h, "hf")
+        return x_l, x_h, x_l + x_h
+
+    return _jax.jit(sample, static_argnames=("num", "class_index"))
+
+
 def make_prior_apply_fns(
     t_l: BidirectionalTransformer,
     t_h: BidirectionalTransformer,
