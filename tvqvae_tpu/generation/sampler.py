@@ -30,10 +30,8 @@ from tvqvae_tpu.models.maskgit import (
     build_transformers,
     decode_tokens,
     encode_tokens,
-    iterative_decoding,
 )
 from tvqvae_tpu.train.runner import load_stage1_bundle
-from tvqvae_tpu.train.stage2 import make_prior_apply_fns
 from tvqvae_tpu.utils.checkpoint import load_checkpoint
 
 
@@ -84,27 +82,46 @@ class TrainedModelSampler:
         elif use_fidelity_enhancer:
             raise ValueError("use_fidelity_enhancer=True needs stage3_ckpt")
 
-        self._apply_l, self._apply_h = make_prior_apply_fns(
-            self.t_l, self.t_h, self._prior_params, self._prior_stats
-        )
+        # All parameter trees are jit ARGUMENTS, never closures: closed-over
+        # trees are baked into the HLO as constants (hundreds of MB for the
+        # frozen stage-1 bundle), which blows up compilation payloads.
+        from tvqvae_tpu.train.stage2 import make_sampling_fn
 
-        self._sample_batch = jax.jit(
-            self._sample_batch_impl, static_argnames=("num", "class_index")
+        self._sample_tokens = make_sampling_fn(
+            self.stage1_model, self.t_l, self.t_h, self.mg_spec
         )
+        self._fe_apply = (
+            jax.jit(lambda p, x: self.fe.apply({"params": p}, x, False))
+            if self.fe is not None else None
+        )
+        self._encode_jit = jax.jit(
+            self._encode_impl, static_argnames=("svq_temp",)
+        )
+        self._decode_jit = jax.jit(self._decode_impl)
 
     # ------------------------------------------------------------------
 
-    def _sample_batch_impl(
-        self, rng: jax.Array, num: int, class_index: Optional[int]
-    ):
-        s_l, s_h = iterative_decoding(
-            rng, self.mg_spec, self._apply_l, self._apply_h, num, class_index
+    def _encode_impl(self, frozen, x, r1, r2, svq_temp):
+        s_l = encode_tokens(
+            self.stage1_model, frozen, x, "lf", svq_temp=svq_temp, rng=r1
         )
-        x_l = decode_tokens(self.stage1_model, self.frozen, s_l, "lf")
-        x_h = decode_tokens(self.stage1_model, self.frozen, s_h, "hf")
-        x = x_l + x_h
+        s_h = encode_tokens(
+            self.stage1_model, frozen, x, "hf", svq_temp=svq_temp, rng=r2
+        )
+        return s_l, s_h
+
+    def _decode_impl(self, frozen, s_l, s_h):
+        x_l = decode_tokens(self.stage1_model, frozen, s_l, "lf")
+        x_h = decode_tokens(self.stage1_model, frozen, s_h, "hf")
+        return x_l + x_h
+
+    def _sample_batch(self, rng, num: int, class_index: Optional[int]):
+        x_l, x_h, x = self._sample_tokens(
+            self.frozen, self._prior_params, self._prior_stats, rng, num,
+            class_index,
+        )
         if self.use_fe:
-            x = self.fe.apply({"params": self._fe_params}, x, False)
+            x = self._fe_apply(self._fe_params, x)
         return x_l, x_h, x
 
     def sample(
@@ -152,29 +169,33 @@ class TrainedModelSampler:
         temp = svq_temp if svq_temp else None
         rng = jax.random.key(seed)
         outs = []
-        for s in range(0, x.shape[0], self.batch_size):
-            xb = jnp.asarray(x[s:s + self.batch_size], jnp.float32)
+        bs = self.batch_size
+        for s in range(0, x.shape[0], bs):
+            xb = x[s:s + bs]
+            pad = bs - xb.shape[0] if xb.shape[0] < bs and x.shape[0] > bs else 0
+            if pad:
+                xb = np.concatenate([xb, xb[:1].repeat(pad, axis=0)])
+            xb = jnp.asarray(xb, jnp.float32)
             rng, r1, r2 = jax.random.split(rng, 3)
-            s_l = encode_tokens(
-                self.stage1_model, self.frozen, xb, "lf", svq_temp=temp, rng=r1
-            )
-            s_h = encode_tokens(
-                self.stage1_model, self.frozen, xb, "hf", svq_temp=temp, rng=r2
-            )
-            x_l = decode_tokens(self.stage1_model, self.frozen, s_l, "lf")
-            x_h = decode_tokens(self.stage1_model, self.frozen, s_h, "hf")
-            outs.append(np.asarray(x_l + x_h))
+            s_l, s_h = self._encode_jit(self.frozen, xb, r1, r2, temp)
+            out = np.asarray(self._decode_jit(self.frozen, s_l, s_h))
+            outs.append(out[: out.shape[0] - pad] if pad else out)
         return np.concatenate(outs)
 
     def enhance(self, x: np.ndarray) -> np.ndarray:
         """Apply the fidelity enhancer to host samples in batches."""
         assert self.fe is not None and self._fe_params is not None
         outs = []
-        for s in range(0, x.shape[0], self.batch_size):
-            xb = jnp.asarray(x[s:s + self.batch_size], jnp.float32)
-            outs.append(
-                np.asarray(self.fe.apply({"params": self._fe_params}, xb, False))
+        bs = self.batch_size
+        for s in range(0, x.shape[0], bs):
+            xb = x[s:s + bs]
+            pad = bs - xb.shape[0] if xb.shape[0] < bs and x.shape[0] > bs else 0
+            if pad:
+                xb = np.concatenate([xb, xb[:1].repeat(pad, axis=0)])
+            out = np.asarray(
+                self._fe_apply(self._fe_params, jnp.asarray(xb, jnp.float32))
             )
+            outs.append(out[: out.shape[0] - pad] if pad else out)
         return np.concatenate(outs)
 
 

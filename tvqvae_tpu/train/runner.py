@@ -262,7 +262,7 @@ def train_stage2(
     if metrics is not None:
         from tvqvae_tpu.train.stage2 import make_sampling_fn
 
-        sample_fn = make_sampling_fn(model, frozen, t_l, t_h, spec)
+        sample_fn = make_sampling_fn(model, t_l, t_h, spec)
         n_val = val_n_samples or min(
             cfg.evaluation.min_num_gen_samples, 1024
         )
@@ -275,7 +275,7 @@ def train_stage2(
             done = 0
             while done < n_val:
                 vrng, r = jax.random.split(vrng)
-                _, _, x = sample_fn(st.params, st.h_stats, r, vbatch, None)
+                _, _, x = sample_fn(frozen, st.params, st.h_stats, r, vbatch, None)
                 xs.append(np.asarray(x))
                 done += vbatch
             x = np.concatenate(xs)[:n_val]
@@ -372,7 +372,7 @@ def train_stage3(
         tree2, _ = load_checkpoint(stage2_ckpt)
         spec = MaskGITSpec.from_config(cfg, s1)
         t_l, t_h = build_transformers(cfg, s1, data.n_classes)
-        sample_fn = make_sampling_fn(model, frozen, t_l, t_h, spec)
+        sample_fn = make_sampling_fn(model, t_l, t_h, spec)
         fe_apply = jax.jit(
             lambda p, x: fe.apply({"params": p}, x, False)
         )
@@ -389,7 +389,8 @@ def train_stage3(
             while done < n_val:
                 vrng, r = jax.random.split(vrng)
                 _, _, x = sample_fn(
-                    tree2["params"], tree2.get("h_stats", {}), r, vbatch, None
+                    frozen, tree2["params"], tree2.get("h_stats", {}), r,
+                    vbatch, None,
                 )
                 xs.append(np.asarray(x))
                 done += vbatch

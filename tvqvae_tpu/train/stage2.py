@@ -124,7 +124,6 @@ def make_stage2_train_step(
 
 def make_sampling_fn(
     stage1_model,
-    frozen: FrozenStage1,
     t_l: BidirectionalTransformer,
     t_h: BidirectionalTransformer,
     spec: MaskGITSpec,
@@ -132,13 +131,16 @@ def make_sampling_fn(
     """Jitted sampler over *current* prior params (used for validation-time
     metrics inside stage-2/3 training, reference stage2.py:87-109).
 
-    Returns fn(params, h_stats, rng, num, class_index) -> (x_l, x_h, x).
+    Returns fn(frozen, params, h_stats, rng, num, class_index) ->
+    (x_l, x_h, x). All parameter trees are ARGUMENTS (never closures): a
+    closed-over frozen stage-1 tree would be baked into the HLO as hundreds
+    of MB of constants, blowing up compile payloads.
     """
     import jax as _jax
 
     from tvqvae_tpu.models.maskgit import decode_tokens, iterative_decoding
 
-    def sample(params, h_stats, rng, num: int, class_index):
+    def sample(frozen: FrozenStage1, params, h_stats, rng, num: int, class_index):
         def apply_l(s_l, cond):
             return t_l.apply({"params": params["l"]}, s_l, None, cond, False)
 
