@@ -175,3 +175,47 @@ def test_stage2_step_learns_toy_distribution(setup):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_ess_confidence_and_decoding(setup):
+    """ESS components (reference maskgit.py:479-679, disabled there):
+    batched token critic + critical reverse sampling + critic decode."""
+    import jax.numpy as jnp
+    from tvqvae_tpu.models.maskgit import (
+        compute_confidence_score,
+        critical_reverse_sampling,
+        iterative_decoding_ess,
+    )
+
+    cfg, s1, spec, t_l, t_h, params, h_stats = setup
+    apply_l, apply_h = make_prior_apply_fns(t_l, t_h, params, h_stats)
+    embed_l = jax.random.normal(jax.random.key(0), (9, s1.hid_dim))
+    embed_h = jax.random.normal(jax.random.key(1), (9, s1.hid_dim))
+
+    s = jax.random.randint(jax.random.key(2), (4, spec.tokens_l), 0, 8)
+    conf = compute_confidence_score(apply_l, s, spec.mask_token_l, embed_l)
+    assert conf.shape == (4, spec.tokens_l)
+    np.testing.assert_allclose(np.asarray(conf).sum(-1), 1.0, rtol=1e-5)
+
+    t_star, s_star = critical_reverse_sampling(
+        apply_l, s, conf, spec.mask_token_l, spec.T_l, spec.tokens_l, embed_l
+    )
+    assert 1 <= t_star < spec.T_l
+    assert (np.asarray(s_star) == spec.mask_token_l).any()
+
+    s_l, s_h = iterative_decoding_ess(
+        jax.random.key(3), spec, apply_l, apply_h, embed_l, embed_h, 4, None
+    )
+    assert (np.asarray(s_l) != spec.mask_token_l).all()
+    assert (np.asarray(s_h) != spec.mask_token_h).all()
+
+
+def test_ess_config_parsing():
+    from tvqvae_tpu.config import Config
+
+    cfg = Config.from_dict(
+        {"MaskGIT": {"ESS": {"use": True, "error_ratio_ma_rate": 0.5}}}
+    )
+    assert cfg.maskgit.ess_use is True
+    assert cfg.maskgit.ess_error_ratio_ma_rate == 0.5
+    assert Config().maskgit.ess_use is False

@@ -105,6 +105,10 @@ class MaskGITConfig:
         )
     )
     cfg_scale: float = 1.0
+    # ESS — Enhanced Sampling Scheme (reference maskgit.py:479-679;
+    # disabled/"under maintenance" in the reference config, off by default)
+    ess_use: bool = False
+    ess_error_ratio_ma_rate: float = 0.3
 
 
 @dataclass(frozen=True)
@@ -194,6 +198,11 @@ class Config:
             mg_kwargs["prior_model_l"] = build(PriorModelConfig, mg["prior_model_l"])
         if "prior_model_h" in mg:
             mg_kwargs["prior_model_h"] = build(PriorModelConfig, mg["prior_model_h"])
+        if "ESS" in mg and mg["ESS"]:
+            mg_kwargs["ess_use"] = bool(mg["ESS"].get("use", False))
+            mg_kwargs["ess_error_ratio_ma_rate"] = float(
+                mg["ESS"].get("error_ratio_ma_rate", 0.3)
+            )
 
         return Config(
             dataset=build(DatasetConfig, d.get("dataset")),

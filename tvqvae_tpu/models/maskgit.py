@@ -314,3 +314,190 @@ def iterative_decoding(
         spec.choice_temp_h, spec.cfg_scale, cond, mode,
     )
     return s_l, s_h
+
+
+# --------------------------------------------------------------------------
+# ESS — Enhanced Sampling Scheme (reference maskgit.py:479-679)
+#
+# Disabled in the published reference config ("under maintenance",
+# configs/config.yaml:66-68) and therefore off by default here too
+# (Config.maskgit.ess_use). The reference computes per-token confidence with
+# an O(n) Python loop of forward passes (:654-679); here all n single-token
+# re-maskings run as ONE batched transformer pass.
+
+
+def compute_confidence_score(
+    apply_fn: Callable,
+    s: jax.Array,
+    mask_token: int,
+    embed: jax.Array,
+    class_condition: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-token self-critic confidence (reference :654-679).
+
+    For each position i: mask it, predict it, and score
+    -||E[s_i] - E[pred_i]||^2; softmax over positions. The n variants are
+    evaluated in one (n*b, n) batched pass.
+    """
+    b, n = s.shape
+    eye = jnp.eye(n, dtype=bool)
+    variants = jnp.where(eye[:, None, :], mask_token, s[None])  # (n, b, n)
+    flat = variants.reshape(n * b, n)
+    cond = (
+        jnp.tile(class_condition, (n, 1))
+        if class_condition is not None else None
+    )
+    logits = apply_fn(flat, cond)  # (n*b, n, K)
+    K = logits.shape[-1]
+    logits = logits.reshape(n, b, n, K)
+    diag = jax.vmap(lambda lg, i: lg[:, i], in_axes=(0, 0))(
+        logits, jnp.arange(n)
+    )  # (n, b, K)
+    pred = jnp.argmax(diag, axis=-1)  # (n, b)
+    z_true = jnp.take(embed, s.T, axis=0)  # (n, b, d)
+    z_pred = jnp.take(embed, pred, axis=0)
+    dist = jnp.sum((z_true - z_pred) ** 2, axis=-1)  # (n, b)
+    return jax.nn.softmax(-dist.T, axis=-1)  # (b, n)
+
+
+def critical_reverse_sampling(
+    apply_fn: Callable,
+    s: jax.Array,
+    confidence_scores: jax.Array,
+    mask_token: int,
+    T: int,
+    num_tokens: int,
+    embed: jax.Array,
+    class_condition: Optional[jax.Array] = None,
+    error_ratio_ma_rate: float = 0.3,
+    mode: str = "cosine",
+):
+    """Step retraction: walk back from t=T-1 removing unrealistic tokens
+    until the prediction-error ratio stops improving (reference :479-594).
+    Host loop over at most T-1 steps; each step is one jitted forward."""
+    import collections
+
+    g = gamma_fn(mode)
+    hist = collections.deque(maxlen=max(1, round(T * error_ratio_ma_rate)))
+    prev_error = None
+    t_star, s_star = 1, None
+    conf_rank = _rank(confidence_scores, axis=-1)
+
+    for t in range(T - 1, 0, -1):
+        ml_t = int(np.clip(np.floor(num_tokens * g((t + 1) / T)), 0, None))
+        ml_tm1 = int(np.clip(np.floor(num_tokens * g(t / T)), 0, None))
+        masking_t = conf_rank < ml_t
+        masking_tm1 = conf_rank < ml_tm1
+
+        if ml_t == ml_tm1:
+            t_star = t
+            s_star = jnp.where(masking_t, mask_token, s)
+            break
+
+        s_tm1 = jnp.where(masking_tm1, mask_token, s)
+        logits = apply_fn(s_tm1, class_condition)
+        s_t_hat = jnp.argmax(logits, axis=-1)
+
+        interest = masking_tm1 & (~masking_t)  # tokens revealed at step t
+        z_true = jnp.take(embed, s, axis=0)
+        z_pred = jnp.take(embed, s_t_hat, axis=0)
+        sq = jnp.sum((z_true - z_pred) ** 2, axis=-1)
+        denom = jnp.maximum(jnp.sum(interest), 1)
+        error = float(jnp.sum(jnp.where(interest, sq, 0.0)) / denom)
+
+        if t == T - 1:
+            prev_error = error
+        else:
+            hist.append(error / (prev_error + 1e-5))
+            prev_error = error
+            if float(np.mean(hist)) > 1.0:
+                t_star = t
+                s_star = jnp.where(masking_t, mask_token, s)
+                break
+        if t == 1:
+            t_star = t
+            s_star = jnp.where(masking_t, mask_token, s)
+    if s_star is None:
+        t_star = 1
+        ml = int(np.clip(np.floor(num_tokens * g(2 / T)), 0, None))
+        s_star = jnp.where(conf_rank < ml, mask_token, s)
+    return t_star, s_star
+
+
+def decode_with_token_critic(
+    rng: jax.Array,
+    apply_fn: Callable,
+    s: jax.Array,
+    t_star: int,
+    mask_token: int,
+    T: int,
+    num_tokens: int,
+    choice_temp: float,
+    embed: jax.Array,
+    class_condition: Optional[jax.Array] = None,
+    mode: str = "cosine",
+):
+    """Resume decoding from t_star with self-token-critic confidences
+    (reference :596-652)."""
+    g = gamma_fn(mode)
+    for t in range(t_star, T):
+        rng, r_s, r_g = jax.random.split(rng, 3)
+        logits = apply_fn(s, class_condition)
+        sampled = jax.random.categorical(r_s, logits, axis=-1)
+        conf = compute_confidence_score(
+            apply_fn, sampled, mask_token, embed, class_condition
+        )
+        ratio = (t + 1) / T
+        ml = int(np.clip(np.floor(num_tokens * g(ratio)), 0, None))
+        temp = choice_temp * (1.0 - ratio)
+        confidence = jnp.log(conf + 1e-5) + temp * _gumbel(r_g, conf.shape)
+        masking = _rank(confidence, axis=-1) < ml
+        s = jnp.where(masking, mask_token, sampled)
+    return s
+
+
+def iterative_decoding_ess(
+    rng: jax.Array,
+    spec: MaskGITSpec,
+    apply_l: Callable,
+    apply_h: Callable,
+    embed_l: jax.Array,
+    embed_h: jax.Array,
+    num: int,
+    class_index: Optional[int] = None,
+    error_ratio_ma_rate: float = 0.3,
+    mode: str = "cosine",
+) -> Tuple[jax.Array, jax.Array]:
+    """Naive LF decode -> critical reverse sampling -> critic-guided
+    re-decode, then the standard HF pass (the path reference first_pass
+    sketches at maskgit.py:348-353 with ESS enabled)."""
+    r_l, r_crit, r_h = jax.random.split(rng, 3)
+    cond = (
+        jnp.full((num, 1), class_index, jnp.int32)
+        if class_index is not None else None
+    )
+
+    s_l = jnp.full((num, spec.tokens_l), spec.mask_token_l, jnp.int32)
+    s_l = decode_band_scan(
+        r_l, apply_l, s_l, spec.mask_token_l, spec.T_l, spec.tokens_l,
+        spec.choice_temp_l, spec.cfg_scale, cond, mode,
+    )
+    conf = compute_confidence_score(
+        apply_l, s_l, spec.mask_token_l, embed_l, cond
+    )
+    t_star, s_star = critical_reverse_sampling(
+        apply_l, s_l, conf, spec.mask_token_l, spec.T_l, spec.tokens_l,
+        embed_l, cond, error_ratio_ma_rate, mode,
+    )
+    s_l = decode_with_token_critic(
+        r_crit, apply_l, s_star, t_star, spec.mask_token_l, spec.T_l,
+        spec.tokens_l, spec.choice_temp_l, embed_l, cond, mode,
+    )
+
+    s_h = jnp.full((num, spec.tokens_h), spec.mask_token_h, jnp.int32)
+    apply_h_fixed = lambda s, c: apply_h(s_l, s, c)
+    s_h = decode_band_scan(
+        r_h, apply_h_fixed, s_h, spec.mask_token_h, spec.T_h, spec.tokens_h,
+        spec.choice_temp_h, spec.cfg_scale, cond, mode,
+    )
+    return s_l, s_h
