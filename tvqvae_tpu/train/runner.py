@@ -115,12 +115,14 @@ def _loop(
     logger: Optional[RunLogger],
     val_interval: int,
     log_interval: int = 100,
+    start_step: int = 0,
+    snapshot=None,
 ):
     from tvqvae_tpu.utils.profiling import StepTimer
 
     timer = StepTimer()
     t0 = time.time()
-    for step in range(1, max_steps + 1):
+    for step in range(start_step + 1, max_steps + 1):
         metrics = train_once(step)
         timer.tick()
         if logger and (step % log_interval == 0 or step == max_steps):
@@ -131,13 +133,15 @@ def _loop(
             )
         if step % max(val_interval, 1) == 0 or step == max_steps:
             val = eval_once(step) if eval_once else {}
-            rate = step / (time.time() - t0)
+            rate = (step - start_step) / (time.time() - t0)
             line = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
             print(f"[{name}] step {step}/{max_steps} ({rate:.1f} it/s) {line}")
             if logger and val:
                 logger.log_metrics(
                     {f"val/{k}": float(v) for k, v in val.items()}, step
                 )
+            if snapshot is not None:
+                snapshot(step)
 
 
 def train_stage1(
@@ -148,6 +152,7 @@ def train_stage1(
     max_steps: Optional[int] = None,
     use_pallas: bool = False,
     seed: int = 0,
+    resume: bool = True,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
@@ -166,9 +171,16 @@ def train_stage1(
         ),
         weight_decay=0.01,
     )
-    state = replicate_tree(
-        mesh, create_stage1_state(params, batch_stats, vq_l, vq_h, tx)
-    )
+    state = create_stage1_state(params, batch_stats, vq_l, vq_h, tx)
+    snap_path = save_path + ".train"
+    start_step = 0
+    if resume and os.path.exists(snap_path):
+        from tvqvae_tpu.utils.checkpoint import load_train_state
+
+        state = load_train_state(snap_path, state)
+        start_step = int(state.step)
+        print(f"[stage1] resuming from step {start_step}")
+    state = replicate_tree(mesh, state)
     train_step = jax.jit(make_stage1_train_step(model, tx), donate_argnums=0)
     eval_step = jax.jit(make_stage1_eval_step(model))
 
@@ -187,16 +199,19 @@ def train_stage1(
 
     def eval_once(step):
         n = min(len(data.X_test), batch_size)
-        xe = data.X_test[:n]
         m = mesh.devices.size
-        if n % m:  # pad to the mesh size by wrapping (val logging only)
-            xe = np.concatenate([xe, xe[: m - n % m]], axis=0)
-        xe = shard_batch(mesh, jnp.asarray(xe))
+        # pad to the mesh size by wrapping (val logging only)
+        idx = np.arange(-(-n // m) * m) % n
+        xe = shard_batch(mesh, jnp.asarray(data.X_test[idx]))
         metrics, _ = eval_step(state_box[0], xe)
         return metrics
 
+    from tvqvae_tpu.utils.checkpoint import save_train_state
+
     _loop("stage1", max_steps, train_once, eval_once, logger,
-          cfg.trainer_params.val_check_interval.get("stage1", 5000))
+          cfg.trainer_params.val_check_interval.get("stage1", 5000),
+          start_step=start_step,
+          snapshot=lambda step: save_train_state(snap_path, state_box[0]))
 
     state = state_box[0]
     save_checkpoint(
@@ -223,6 +238,7 @@ def train_stage2(
     seed: int = 0,
     metrics=None,
     val_n_samples: Optional[int] = None,
+    resume: bool = True,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage2", 16)
@@ -238,7 +254,16 @@ def train_stage2(
         ),
         weight_decay=0.01,
     )
-    state = replicate_tree(mesh, create_stage2_state(params, h_stats, tx))
+    state = create_stage2_state(params, h_stats, tx)
+    snap_path = save_path + ".train"
+    start_step = 0
+    if resume and os.path.exists(snap_path):
+        from tvqvae_tpu.utils.checkpoint import load_train_state
+
+        state = load_train_state(snap_path, state)
+        start_step = int(state.step)
+        print(f"[stage2] resuming from step {start_step}")
+    state = replicate_tree(mesh, state)
     frozen = replicate_tree(mesh, frozen)
     step_fn = jax.jit(
         make_stage2_train_step(model, t_l, t_h, spec, tx), donate_argnums=0
@@ -288,8 +313,12 @@ def train_stage2(
                 "running_metrics/KD": kd,
             }
 
+    from tvqvae_tpu.utils.checkpoint import save_train_state
+
     _loop("stage2", max_steps, train_once, eval_once, logger,
-          cfg.trainer_params.val_check_interval.get("stage2", 10000))
+          cfg.trainer_params.val_check_interval.get("stage2", 10000),
+          start_step=start_step,
+          snapshot=lambda step: save_train_state(snap_path, state_box[0]))
 
     state = state_box[0]
     save_checkpoint(
@@ -316,6 +345,7 @@ def train_stage3(
     stage2_ckpt: Optional[str] = None,
     metrics=None,
     val_n_samples: Optional[int] = None,
+    resume: bool = True,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
@@ -338,7 +368,16 @@ def train_stage3(
         ),
         weight_decay=0.01,
     )
-    state = replicate_tree(mesh, create_stage3_state(params, tx, tau))
+    state = create_stage3_state(params, tx, tau)
+    snap_path = save_path + ".train"
+    start_step = 0
+    if resume and os.path.exists(snap_path):
+        from tvqvae_tpu.utils.checkpoint import load_train_state
+
+        state = load_train_state(snap_path, state)
+        start_step = int(state.step)
+        print(f"[stage3] resuming from step {start_step}")
+    state = replicate_tree(mesh, state)
     frozen = replicate_tree(mesh, frozen)
     step_fn = jax.jit(
         make_stage3_train_step(
@@ -412,8 +451,12 @@ def train_stage3(
                 out[f"running_metrics/KD{tag}"] = kd
             return out
 
+    from tvqvae_tpu.utils.checkpoint import save_train_state
+
     _loop("stage3", max_steps, train_once, eval_once, logger,
-          cfg.trainer_params.val_check_interval.get("stage3", 2500))
+          cfg.trainer_params.val_check_interval.get("stage3", 2500),
+          start_step=start_step,
+          snapshot=lambda step: save_train_state(snap_path, state_box[0]))
 
     state = state_box[0]
     save_checkpoint(

@@ -50,3 +50,31 @@ def _json_default(o):
     if isinstance(o, np.ndarray):
         return o.tolist()
     raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+# --------------------------------------------------------------------------
+# mid-run train-state snapshots (resume support — absent in the reference,
+# SURVEY.md §5.4: `enable_checkpointing=False`, no mid-stage restarts)
+
+
+def save_train_state(path: str, state: Any) -> None:
+    """Serialize a full train state (params, batch stats, codebooks,
+    optimizer state, step) for in-place resume. Uses flax msgpack so optax
+    NamedTuple states round-trip by structure."""
+    from flax import serialization
+
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(jax.tree.map(np.asarray, state)))
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn snapshot
+
+
+def load_train_state(path: str, template: Any) -> Any:
+    """Restore a snapshot into the structure of `template` (a freshly built
+    state with identical tree structure and shapes)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
