@@ -27,7 +27,6 @@ from a built-in table of major airports / explicit CLI overrides /
 `traffic.data.airports` when available.
 """
 
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -22,7 +22,7 @@ Differences from the reference (documented):
 import glob
 import os
 import subprocess
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -16,7 +16,6 @@ reconstructed / SVQ round-trip sets, FID/IS/stat metrics, PCA/t-SNE plots)
 mirror reference sampler.py:194-481.
 """
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -19,7 +19,7 @@ The SVQ temperature tau lives in the stage-3 train state (not a module
 buffer); reference registers it on the module (:472) with default 0.0.
 """
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

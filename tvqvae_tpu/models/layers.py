@@ -14,7 +14,7 @@ the boundary. Torch-geometry parity notes:
     eps 1e-5), with running stats in the `batch_stats` collection.
 """
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,9 +21,7 @@ Reference: timevqvae/models/maskgit.py. TPU-first re-design:
 Gamma schedules: reference :218-228.
 """
 
-import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -18,9 +18,6 @@ TPU-first organization:
     applied by the caller via `TimeHead`.
 """
 
-from typing import Callable
-
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import ConvTranspose2dTorch, DecBlock2d, EncBlock2d, ResBlock2d

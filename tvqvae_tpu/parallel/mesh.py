@@ -9,8 +9,6 @@ batch axis. Multi-host extends this by giving each host its own input shard
 (jax.make_array_from_process_local_data) over the same mesh.
 """
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -13,8 +13,6 @@ import json
 import os
 from pathlib import Path
 
-import numpy as np
-
 from tvqvae_tpu.config import Config
 from tvqvae_tpu.data import get_data
 from tvqvae_tpu.evaluation import Metrics

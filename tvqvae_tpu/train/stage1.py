@@ -14,7 +14,7 @@ import jax
 import optax
 from flax import struct
 
-from tvqvae_tpu.models.stage1 import Stage1Model, Stage1Spec, stage1_losses
+from tvqvae_tpu.models.stage1 import Stage1Model, stage1_losses
 from tvqvae_tpu.models.vq import CodebookState
 
 
