@@ -1,3 +1,15 @@
-from .mesh import make_mesh, shard_batch, replicate_tree, data_sharding
+from .mesh import (
+    data_sharding,
+    make_mesh,
+    prefetch_batches,
+    replicate_tree,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate_tree", "data_sharding"]
+__all__ = [
+    "data_sharding",
+    "make_mesh",
+    "prefetch_batches",
+    "replicate_tree",
+    "shard_batch",
+]

@@ -37,3 +37,33 @@ def replicate_tree(mesh: Mesh, tree):
     """Fully replicate a pytree (params, opt state, codebooks) on the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def prefetch_batches(iterator, mesh: Mesh, size: int = 2):
+    """Double-buffer host batches onto the mesh.
+
+    jax transfers are async; keeping `size` batches in flight overlaps the
+    host->device copy (measured ~3 ms for a stage-1 batch through the
+    tunnel) with the previous step's compute.
+    """
+    import collections
+
+    import jax.numpy as jnp
+
+    q = collections.deque()
+
+    def put(item):
+        q.append(jax.tree.map(
+            lambda v: v if v is None else jax.device_put(
+                jnp.asarray(v), data_sharding(mesh, np.ndim(v))
+            ),
+            item,
+            is_leaf=lambda v: v is None,
+        ))
+
+    for item in iterator:
+        put(item)
+        if len(q) > size:
+            yield q.popleft()
+    while q:
+        yield q.popleft()

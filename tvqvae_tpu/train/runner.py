@@ -30,7 +30,7 @@ from tvqvae_tpu.models.maskgit import (
 )
 from tvqvae_tpu.models.stage1 import Stage1Model
 from tvqvae_tpu.models.vq import CodebookState
-from tvqvae_tpu.parallel import make_mesh, replicate_tree, shard_batch
+from tvqvae_tpu.parallel import make_mesh, prefetch_batches, replicate_tree, shard_batch
 from tvqvae_tpu.train.stage1 import (
     create_stage1_state,
     make_stage1_eval_step,
@@ -185,15 +185,15 @@ def train_stage1(
     eval_step = jax.jit(make_stage1_eval_step(model))
 
     rng = jax.random.key(seed + 1)
-    batches = make_batches(
-        data.X_train, data.y_train, batch_size, shuffle=True, seed=seed,
-        repeat=True,
+    batches = prefetch_batches(
+        make_batches(data.X_train, None, batch_size, shuffle=True, seed=seed,
+                     repeat=True),
+        mesh,
     )
     state_box = [state]
 
     def train_once(step):
         xb, _ = next(batches)
-        xb = shard_batch(mesh, jnp.asarray(xb))
         state_box[0], metrics = train_step(state_box[0], xb, rng)
         return metrics
 
@@ -270,15 +270,15 @@ def train_stage2(
     )
 
     rng = jax.random.key(seed + 1)
-    batches = make_batches(
-        data.X_train, data.y_train, batch_size, shuffle=True, seed=seed,
-        repeat=True,
+    batches = prefetch_batches(
+        make_batches(data.X_train, data.y_train, batch_size, shuffle=True,
+                     seed=seed, repeat=True),
+        mesh,
     )
     state_box = [state]
 
     def train_once(step):
         xb, yb = next(batches)
-        xb, yb = shard_batch(mesh, (jnp.asarray(xb), jnp.asarray(yb)))
         state_box[0], m = step_fn(state_box[0], frozen, xb, yb, rng)
         return m
 
@@ -388,15 +388,15 @@ def train_stage3(
     )
 
     rng = jax.random.key(seed + 1)
-    batches = make_batches(
-        data.X_train, data.y_train, batch_size, shuffle=True, seed=seed,
-        repeat=True,
+    batches = prefetch_batches(
+        make_batches(data.X_train, None, batch_size, shuffle=True, seed=seed,
+                     repeat=True),
+        mesh,
     )
     state_box = [state]
 
     def train_once(step):
         xb, _ = next(batches)
-        xb = shard_batch(mesh, jnp.asarray(xb))
         state_box[0], m = step_fn(state_box[0], frozen, xb, rng)
         return m
 
