@@ -153,3 +153,94 @@ def plot_altitude(X: np.ndarray, alt_idx: int = 2, title: str = "altitude",
     plt.ylabel("altitude")
     plt.tight_layout()
     return fig
+
+
+def plot_timeseries_ci(X_real, X_gen, feature_names=None,
+                       title: str = "time series (mean ± 95% CI)"):
+    """Per-channel mean with 95% bands, real vs generated (the reference's
+    time_series.ipynb / .figures/timeseries_ci_EHAM_LIMC.png)."""
+    C = X_real.shape[1]
+    fig, axes = plt.subplots(1, C, figsize=(3.2 * C, 3), squeeze=False)
+    for c in range(C):
+        ax = axes[0][c]
+        for data, color, label in [(X_real, "C0", "real"),
+                                   (X_gen, "C1", "generated")]:
+            arr = np.asarray(data)[:, c, :]
+            mu = arr.mean(axis=0)
+            lo = np.percentile(arr, 2.5, axis=0)
+            hi = np.percentile(arr, 97.5, axis=0)
+            ax.plot(mu, color=color, label=label)
+            ax.fill_between(np.arange(len(mu)), lo, hi, color=color, alpha=0.2)
+        name = feature_names[c] if feature_names else f"ch{c}"
+        ax.set_title(name)
+        if c == 0:
+            ax.legend()
+    fig.suptitle(title)
+    fig.tight_layout()
+    return fig
+
+
+def plot_distributions(X_real, X_gen, feature_names=None, bins: int = 80,
+                       title: str = "marginal distributions"):
+    """Per-channel marginal histograms, real vs generated (the reference's
+    distribution_plots.ipynb)."""
+    C = X_real.shape[1]
+    fig, axes = plt.subplots(1, C, figsize=(3.2 * C, 3), squeeze=False)
+    for c in range(C):
+        ax = axes[0][c]
+        r = np.asarray(X_real)[:, c, :].ravel()
+        g = np.asarray(X_gen)[:, c, :].ravel()
+        lo, hi = min(r.min(), g.min()), max(r.max(), g.max())
+        ax.hist(r, bins=bins, range=(lo, hi), density=True, alpha=0.5,
+                label="real")
+        ax.hist(g, bins=bins, range=(lo, hi), density=True, alpha=0.5,
+                label="generated")
+        name = feature_names[c] if feature_names else f"ch{c}"
+        ax.set_title(name)
+        if c == 0:
+            ax.legend()
+    fig.suptitle(title)
+    fig.tight_layout()
+    return fig
+
+
+def plot_metric_correlation_heatmap(results: dict, keys, title: str):
+    """Correlation heatmap between per-flight distance metrics (the
+    reference's correlation_heatmaps.ipynb /
+    .figures/correlation_heatmap_{euclidean,spherical}.png)."""
+    mat = np.stack([np.asarray(results[k], float) for k in keys])
+    corr = np.corrcoef(mat)
+    fig, ax = plt.subplots(figsize=(1.1 * len(keys) + 2, 1.0 * len(keys) + 1))
+    im = ax.imshow(corr, vmin=-1, vmax=1, cmap="coolwarm")
+    ax.set_xticks(range(len(keys)))
+    ax.set_yticks(range(len(keys)))
+    ax.set_xticklabels(keys, rotation=45, ha="right", fontsize=8)
+    ax.set_yticklabels(keys, fontsize=8)
+    for i in range(len(keys)):
+        for j in range(len(keys)):
+            ax.text(j, i, f"{corr[i, j]:.2f}", ha="center", va="center",
+                    fontsize=7)
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    ax.set_title(title)
+    fig.tight_layout()
+    return fig
+
+
+def plot_metric_percentiles(results: dict, keys, title: str):
+    """Percentile curves per distance metric (the reference's
+    .figures/percentile_plots_{euclidean,spherical}.png)."""
+    ncol = 4
+    nrow = (len(keys) + ncol - 1) // ncol
+    fig, axes = plt.subplots(nrow, ncol, figsize=(3.2 * ncol, 2.6 * nrow),
+                             squeeze=False)
+    qs = np.linspace(0, 100, 101)
+    for ax, k in zip(np.ravel(axes), keys):
+        vals = np.asarray(results[k], float)
+        ax.plot(qs, np.percentile(vals, qs))
+        ax.set_title(k, fontsize=9)
+        ax.set_xlabel("percentile")
+    for ax in np.ravel(axes)[len(keys):]:
+        ax.axis("off")
+    fig.suptitle(title)
+    fig.tight_layout()
+    return fig
