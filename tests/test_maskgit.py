@@ -219,3 +219,30 @@ def test_ess_config_parsing():
     assert cfg.maskgit.ess_use is True
     assert cfg.maskgit.ess_error_ratio_ma_rate == 0.5
     assert Config().maskgit.ess_use is False
+
+
+def test_sampling_fans_out_over_mesh(setup):
+    """Generation fan-out: outputs sharded over the data mesh axis."""
+    import jax.numpy as jnp
+    from tvqvae_tpu.models import init_stage1
+    from tvqvae_tpu.models.maskgit import FrozenStage1
+    from tvqvae_tpu.parallel import make_mesh, replicate_tree
+    from tvqvae_tpu.train.stage2 import make_sampling_fn
+
+    cfg, s1, spec, t_l, t_h, params, h_stats = setup
+    x = jax.random.normal(jax.random.key(0), (8, 2, 96))
+    from tvqvae_tpu.models.stage1 import Stage1Model
+
+    model, p1, bs1, vq_l, vq_h = init_stage1(jax.random.key(1), s1, x)
+    mesh = make_mesh()
+    frozen = replicate_tree(
+        mesh, FrozenStage1(params=p1, batch_stats=bs1, vq_l=vq_l, vq_h=vq_h)
+    )
+    params_r = replicate_tree(mesh, params)
+    stats_r = replicate_tree(mesh, h_stats)
+    fn = make_sampling_fn(model, t_l, t_h, spec, mesh=mesh)
+    x_l, x_h, xg = fn(frozen, params_r, stats_r, jax.random.key(2), 16, None)
+    assert xg.shape == (16, 2, 96)
+    assert np.isfinite(np.asarray(xg)).all()
+    # output actually sharded over the 8-device data axis
+    assert len(xg.sharding.device_set) == mesh.devices.size

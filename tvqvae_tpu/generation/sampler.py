@@ -43,10 +43,14 @@ class TrainedModelSampler:
         stage3_ckpt: Optional[str] = None,
         use_fidelity_enhancer: bool = False,
         batch_size: int = 32,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh — generation fans out over its
+        `data` axis (batch_size must divide by the mesh size)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.use_fe = use_fidelity_enhancer
+        self.mesh = mesh
 
         self.stage1_model, self.frozen, self.s1_spec, meta = (
             load_stage1_bundle(cfg, stage1_ckpt)
@@ -87,7 +91,7 @@ class TrainedModelSampler:
         from tvqvae_tpu.train.stage2 import make_sampling_fn
 
         self._sample_tokens = make_sampling_fn(
-            self.stage1_model, self.t_l, self.t_h, self.mg_spec
+            self.stage1_model, self.t_l, self.t_h, self.mg_spec, mesh=mesh
         )
         self._fe_apply = (
             jax.jit(lambda p, x: self.fe.apply({"params": p}, x, False))

@@ -127,6 +127,7 @@ def make_sampling_fn(
     t_l: BidirectionalTransformer,
     t_h: BidirectionalTransformer,
     spec: MaskGITSpec,
+    mesh=None,
 ):
     """Jitted sampler over *current* prior params (used for validation-time
     metrics inside stage-2/3 training, reference stage2.py:87-109).
@@ -135,6 +136,10 @@ def make_sampling_fn(
     (x_l, x_h, x). All parameter trees are ARGUMENTS (never closures): a
     closed-over frozen stage-1 tree would be baked into the HLO as hundreds
     of MB of constants, blowing up compile payloads.
+
+    With `mesh`, outputs are constrained to batch-sharding over the `data`
+    axis; GSPMD propagates the constraint backwards so the whole decode
+    pipeline fans out over the mesh (`num` must divide by the mesh size).
     """
     import jax as _jax
 
@@ -153,11 +158,29 @@ def make_sampling_fn(
         s_l, s_h = iterative_decoding(
             rng, spec, apply_l, apply_h, num, class_index
         )
+        if mesh is not None:
+            from tvqvae_tpu.parallel.mesh import data_sharding
+
+            s_l = _jax.lax.with_sharding_constraint(
+                s_l, data_sharding(mesh, s_l.ndim)
+            )
+            s_h = _jax.lax.with_sharding_constraint(
+                s_h, data_sharding(mesh, s_h.ndim)
+            )
         x_l = decode_tokens(stage1_model, frozen, s_l, "lf")
         x_h = decode_tokens(stage1_model, frozen, s_h, "hf")
         return x_l, x_h, x_l + x_h
 
-    return _jax.jit(sample, static_argnames=("num", "class_index"))
+    if mesh is None:
+        return _jax.jit(sample, static_argnames=("num", "class_index"))
+    from tvqvae_tpu.parallel.mesh import data_sharding
+
+    shard3 = data_sharding(mesh, 3)
+    return _jax.jit(
+        sample,
+        static_argnames=("num", "class_index"),
+        out_shardings=(shard3, shard3, shard3),
+    )
 
 
 def make_prior_apply_fns(
