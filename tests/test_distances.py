@@ -245,3 +245,26 @@ def test_bucket_padding_invariance():
     a = float(frechet_jax(jnp.asarray(p), jnp.asarray(q)))
     b = float(frechet_jax(pp, qq))
     np.testing.assert_allclose(a, b, rtol=1e-4)
+
+
+def test_batched_scoring_matches_per_pair():
+    from tvqvae_tpu.evaluation.flyability.distances import (
+        calculate_trajectory_distances_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    gens, sims = [], []
+    for n, m in [(14, 18), (25, 25), (40, 9), (14, 20)]:
+        p = np.cumsum(rng.normal(0, 0.03, (n, 2)), axis=0) + [48, 5]
+        q = np.cumsum(rng.normal(0, 0.03, (m, 2)), axis=0) + [48, 5]
+        gens.append(p.astype(np.float32))
+        sims.append(q.astype(np.float32))
+    g = (48.0, 5.0)
+    batch = calculate_trajectory_distances_batch(gens, sims, g)
+    for i in range(len(gens)):
+        single = calculate_trajectory_distances(gens[i], sims[i], g)
+        for k, v in single.items():
+            np.testing.assert_allclose(
+                batch[k][i], v, rtol=2e-3, atol=1e-5,
+                err_msg=f"{k} pair {i}",
+            )

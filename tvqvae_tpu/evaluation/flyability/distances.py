@@ -546,3 +546,107 @@ def calculate_trajectory_distances(
         # repeated-endpoint padding is exact for the continuous Frechet
         "Frechet": float(frechet_jax(p, q)),
     }
+
+
+# --------------------------------------------------------------------------
+# batched scoring: vmap whole shape-buckets of flight pairs per dispatch
+
+
+def _vmapped_metrics():
+    """Build jitted, vmapped versions of all jittable metrics once."""
+    fns = {}
+    for metric in ("euclidean", "spherical"):
+        fns[("sspd", metric)] = jax.jit(jax.vmap(
+            lambda p, q, n, m, _metric=metric: sspd(p, q, metric=_metric, n=n, m=m)
+        ))
+        fns[("dtw", metric)] = jax.jit(jax.vmap(
+            lambda p, q, n, m, _metric=metric: dtw(p, q, metric=_metric, n=n, m=m)
+        ))
+        fns[("hausdorff", metric)] = jax.jit(jax.vmap(
+            lambda p, q, n, m, _metric=metric: hausdorff(
+                p, q, metric=_metric, n=n, m=m)
+        ))
+        fns[("erp", metric)] = jax.jit(jax.vmap(
+            lambda p, q, g, n, m, _metric=metric: erp(
+                p, q, g, metric=_metric, n=n, m=m),
+            in_axes=(0, 0, None, 0, 0),
+        ))
+        fns[("lcss", metric)] = jax.jit(jax.vmap(
+            lambda p, q, e, n, m, _metric=metric: lcss(
+                p, q, e, metric=_metric, n=n, m=m),
+            in_axes=(0, 0, None, 0, 0),
+        ), static_argnums=2)
+        fns[("edr", metric)] = jax.jit(jax.vmap(
+            lambda p, q, e, n, m, _metric=metric: edr(
+                p, q, e, metric=_metric, n=n, m=m),
+            in_axes=(0, 0, None, 0, 0),
+        ), static_argnums=2)
+    fns["discret_frechet"] = jax.jit(jax.vmap(
+        lambda p, q, n, m: discret_frechet(p, q, n=n, m=m)
+    ))
+    fns["frechet"] = jax.jit(jax.vmap(frechet_jax))
+    return fns
+
+
+_VMAPPED = None
+
+
+def calculate_trajectory_distances_batch(
+    gens, sims, adep_latlon, eps: float = 0.009
+) -> Dict[str, list]:
+    """All 14 metrics for a list of flight pairs, bucketed by padded shape
+    and evaluated with vmapped kernels (one device dispatch per bucket and
+    metric instead of one per pair). Returns {metric: [per-flight values]}
+    in input order; values match calculate_trajectory_distances."""
+    global _VMAPPED
+    if _VMAPPED is None:
+        _VMAPPED = _vmapped_metrics()
+    fns = _VMAPPED
+
+    buckets = {}
+    for i, (gp, sp) in enumerate(zip(gens, sims)):
+        key = (_bucket_pad(np.asarray(gp)).shape[0],
+               _bucket_pad(np.asarray(sp)).shape[0])
+        buckets.setdefault(key, []).append(i)
+
+    g = jnp.asarray(adep_latlon, jnp.float32)
+    keys = [
+        "SSPD Euclidean", "SSPD Spherical", "DTW Euclidean", "DTW Spherical",
+        "Hausdorff Euclidean", "Hausdorff Spherical", "LCSS Euclidean",
+        "LCSS Spherical", "ERP Euclidean", "ERP Spherical", "EDR Euclidean",
+        "EDR Spherical", "Discrete Frechet", "Frechet",
+    ]
+    out = {k: [None] * len(gens) for k in keys}
+
+    for (P, Q), idxs in buckets.items():
+        p = jnp.asarray(np.stack(
+            [_bucket_pad(np.asarray(gens[i], np.float32)) for i in idxs]
+        ))
+        q = jnp.asarray(np.stack(
+            [_bucket_pad(np.asarray(sims[i], np.float32)) for i in idxs]
+        ))
+        n = jnp.asarray([len(gens[i]) for i in idxs], jnp.int32)
+        m = jnp.asarray([len(sims[i]) for i in idxs], jnp.int32)
+
+        vals = {
+            "SSPD Euclidean": fns[("sspd", "euclidean")](p, q, n, m),
+            "SSPD Spherical": fns[("sspd", "spherical")](p, q, n, m),
+            "DTW Euclidean": fns[("dtw", "euclidean")](p, q, n, m),
+            "DTW Spherical": fns[("dtw", "spherical")](p, q, n, m),
+            "Hausdorff Euclidean": fns[("hausdorff", "euclidean")](p, q, n, m),
+            "Hausdorff Spherical": fns[("hausdorff", "spherical")](p, q, n, m),
+            "LCSS Euclidean": fns[("lcss", "euclidean")](p, q, eps, n, m),
+            "LCSS Spherical": fns[("lcss", "spherical")](p, q, eps * 1e6, n, m),
+            "ERP Euclidean": fns[("erp", "euclidean")](p, q, g, n, m),
+            "ERP Spherical": fns[("erp", "spherical")](p, q, g, n, m),
+            "EDR Euclidean": fns[("edr", "euclidean")](p, q, eps, n, m),
+            "EDR Spherical": fns[("edr", "spherical")](p, q, eps, n, m),
+            "Discrete Frechet": fns["discret_frechet"](p, q, n, m),
+            # repeated-endpoint padding is exact for continuous Frechet
+            "Frechet": fns["frechet"](p, q),
+        }
+        for k in keys:
+            arr = np.asarray(vals[k])
+            for j, i in enumerate(idxs):
+                out[k][i] = float(arr[j])
+    return out

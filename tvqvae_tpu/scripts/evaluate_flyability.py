@@ -74,9 +74,14 @@ def filter_simulated(points: pd.DataFrame, ades_latlon) -> pd.DataFrame:
 def score_distances(original: pd.DataFrame, simulated: pd.DataFrame,
                     adep_latlon) -> dict:
     """Per-flight 14-metric distances, aggregated
-    (reference flyability_eval.py:271-351)."""
-    results = {}
+    (reference flyability_eval.py:271-351). Pairs are scored in vmapped
+    shape buckets — one device dispatch per bucket/metric."""
+    from tvqvae_tpu.evaluation.flyability.distances import (
+        calculate_trajectory_distances_batch,
+    )
+
     sim_ids = set(simulated["flight_id"].unique())
+    gens, sims = [], []
     for fid, f in original.groupby("flight_id"):
         if fid not in sim_ids:
             continue
@@ -88,10 +93,11 @@ def score_distances(original: pd.DataFrame, simulated: pd.DataFrame,
         )
         if len(gen) < 2 or len(sim) < 2:
             continue
-        d = calculate_trajectory_distances(gen, sim, adep_latlon)
-        for k, v in d.items():
-            results.setdefault(k, []).append(v)
-    return results
+        gens.append(gen)
+        sims.append(sim)
+    if not gens:
+        return {}
+    return calculate_trajectory_distances_batch(gens, sims, adep_latlon)
 
 
 def plot_distance_cdfs(results: dict, out_path: str) -> None:
