@@ -66,10 +66,25 @@ def main(argv=None):
     ):
         from tvqvae_tpu.evaluation import Metrics
 
+        # honor the configured featurizer (reference train.py passes
+        # feature_extractor_type into Stage2/3); the supervised-FCN path
+        # needs a trained fcn checkpoint and falls back to rocket otherwise
+        fx = cfg.evaluation.feature_extractor_type
+        fcn_vars = None
+        if fx == "supervised_fcn":
+            if os.path.exists(paths["fcn"]):
+                from tvqvae_tpu.train.runner import load_fcn_bundle
+
+                bundle, _ = load_fcn_bundle(paths["fcn"])
+                fcn_vars = {"params": bundle["params"],
+                            "batch_stats": bundle["batch_stats"]}
+            else:
+                print("[train] no fcn checkpoint; val metrics use rocket")
+                fx = "rocket"
         val_metrics = Metrics(
             data.input_length, data.in_channels, data.n_classes,
             cfg.evaluation.batch_size, data.X_train, data.X_test,
-            feature_extractor_type="rocket",
+            feature_extractor_type=fx, fcn_variables=fcn_vars,
         )
 
     stages = ["1", "2", "3"] if args.stage == "all" else [args.stage]
