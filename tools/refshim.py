@@ -1,0 +1,146 @@
+"""Import shim for running the reference (/root/reference) on CPU.
+
+The reference is a torch/Lightning codebase; this environment has torch but
+not lightning/mlflow/numba/x-transformers. This module installs minimal fake
+modules so the reference's *own numeric code* (models, eval_utils,
+stat_metrics, rocket_functions, trainers.Stage1) imports and runs — used by
+tools/measure_reference.py (perf baseline) and tests/test_reference_parity.py
+(differential parity). Nothing here is product code.
+
+The stubs only satisfy imports; no reference logic is altered:
+- lightning.LightningModule -> torch.nn.Module with no-op `log`, a
+  `lr_schedulers()` accessor, and a `global_step` attribute (the three
+  Lightning touchpoints in trainers/stage1.py:179-197).
+- mlflow -> no-op log_artifact/log_metric (utils/train_utils.py:33-41).
+- numba.njit/prange -> identity decorator / range, so
+  evaluation/rocket_functions.py:21-127 runs as pure Python (slow, exact).
+"""
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _fake_lightning():
+    import torch.nn as nn
+
+    mod = types.ModuleType("lightning")
+
+    class LightningModule(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.global_step = 0
+            self._shim_scheduler = None
+
+        def log(self, *a, **k):
+            pass
+
+        def log_dict(self, *a, **k):
+            pass
+
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+        def lr_schedulers(self):
+            return self._shim_scheduler
+
+    mod.LightningModule = LightningModule
+    return mod
+
+
+def _fake_mlflow():
+    mod = types.ModuleType("mlflow")
+    for name in (
+        "log_artifact", "log_metric", "log_metrics", "log_param",
+        "log_params", "set_tracking_uri", "set_experiment", "start_run",
+        "end_run",
+    ):
+        setattr(mod, name, lambda *a, **k: None)
+    return mod
+
+
+def _fake_numba():
+    mod = types.ModuleType("numba")
+
+    def njit(*args, **kwargs):
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+
+        def deco(f):
+            return f
+
+        return deco
+
+    mod.njit = njit
+    mod.jit = njit
+    mod.prange = range
+    return mod
+
+
+def _fake_geo_stack():
+    """traffic / cartopy / basemap / altair — imported at module scope by
+    reference utils (plot_utils.py:6-14, data_utils.py:11) but not touched by
+    the numeric paths we exercise. Attribute access raises on use."""
+    mods = {}
+
+    def _pkg(name, **attrs):
+        mod = types.ModuleType(name)
+        mod.__path__ = []  # mark as package so submodule imports resolve
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        mods[name] = mod
+        return mod
+
+    _placeholder = type("StubPlaceholder", (), {})
+
+    traffic = _pkg("traffic")
+    traffic.core = _pkg("traffic.core", Traffic=type("Traffic", (), {}))
+    traffic.data = _pkg("traffic.data", airports=None)
+
+    cartopy = _pkg("cartopy")
+    cartopy.crs = _pkg(
+        "cartopy.crs",
+        EuroPP=type("EuroPP", (), {}),
+        PlateCarree=type("PlateCarree", (), {}),
+    )
+    cartopy.feature = _pkg("cartopy.feature", BORDERS=None, COASTLINE=None)
+
+    _pkg("mpl_toolkits.basemap", Basemap=type("Basemap", (), {}))
+    _pkg("altair", Chart=_placeholder)
+    _pkg(
+        "x_transformers",
+        ContinuousTransformerWrapper=type(
+            "ContinuousTransformerWrapper", (), {}
+        ),
+        Encoder=type("Encoder", (), {}),
+    )
+    return mods
+
+
+def install():
+    """Install fake modules and put the reference on sys.path."""
+    for name, maker in (
+        ("lightning", _fake_lightning),
+        ("mlflow", _fake_mlflow),
+        ("numba", _fake_numba),
+    ):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = maker()
+    for name, mod in _fake_geo_stack().items():
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = mod
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+
+def reference_available():
+    import os
+
+    return os.path.isdir(REFERENCE_ROOT)
