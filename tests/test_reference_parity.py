@@ -33,11 +33,22 @@ import refshim  # noqa: E402
 if not refshim.reference_available():
     pytest.skip("/root/reference not present", allow_module_level=True)
 
-refshim.install()
 
-# numpy 2 removed np.NINF, which the reference's apply_kernel uses at runtime
-if not hasattr(np, "NINF"):
-    np.NINF = -np.inf
+@pytest.fixture(scope="module", autouse=True)
+def _reference_stubs():
+    """Install the dependency stubs for this module only and remove them
+    afterwards — pytest imports every test module at collection time, so a
+    module-level install() would leak the fake `traffic`/`cartopy` into
+    other tests that feature-gate on those imports."""
+    installed = refshim.install()
+    # numpy 2 removed np.NINF, which the reference's apply_kernel uses
+    had_ninf = hasattr(np, "NINF")
+    if not had_ninf:
+        np.NINF = -np.inf
+    yield
+    refshim.uninstall(installed)
+    if not had_ninf:
+        del np.NINF
 
 
 # ---------------------------------------------------------------------------

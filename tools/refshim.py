@@ -119,7 +119,13 @@ def _fake_geo_stack():
 
 
 def install():
-    """Install fake modules and put the reference on sys.path."""
+    """Install fake modules and put the reference on sys.path.
+
+    Returns the list of sys.modules names actually stubbed so callers
+    (e.g. the parity-test fixture) can remove them afterwards — the stubs
+    must not leak into other code that feature-gates on these imports.
+    """
+    installed = []
     for name, maker in (
         ("lightning", _fake_lightning),
         ("mlflow", _fake_mlflow),
@@ -130,14 +136,28 @@ def install():
                 __import__(name)
             except ImportError:
                 sys.modules[name] = maker()
+                installed.append(name)
     for name, mod in _fake_geo_stack().items():
         if name not in sys.modules:
             try:
                 __import__(name)
             except ImportError:
                 sys.modules[name] = mod
+                installed.append(name)
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    return installed
+
+
+def uninstall(installed):
+    """Remove previously installed stubs (and the cached reference modules
+    that captured them)."""
+    for name in installed:
+        sys.modules.pop(name, None)
+    for name in [n for n in sys.modules if n.split(".")[0] == "timevqvae"]:
+        sys.modules.pop(name, None)
+    if REFERENCE_ROOT in sys.path:
+        sys.path.remove(REFERENCE_ROOT)
 
 
 def reference_available():
