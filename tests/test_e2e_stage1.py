@@ -7,6 +7,10 @@ data -> scaling -> sharded batches -> STFT conv -> encoders -> VQ EMA ->
 decoders -> losses -> AdamW -> state threading.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax
@@ -80,3 +84,21 @@ def test_stage1_trains_and_improves(tmp_path):
 
     # codebooks were actually trained (moved + utilized)
     assert float(metrics["perplexity.LF"]) > 1.0
+
+    # per-sample eval mode (runner full-val-split averaging) agrees with the
+    # batch-mean metrics on the same batch
+    eval_ps = jax.jit(make_stage1_eval_step(model, per_sample=True))
+    per, scalars, _ = eval_ps(state, xe)
+    assert per["recons_loss.LF.time"].shape == (8,)
+    np.testing.assert_allclose(
+        float(jnp.mean(per["recons_loss.LF.time"])),
+        float(metrics["recons_loss.LF.time"]), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(jnp.mean(per["recons_loss.HF.time"])),
+        float(metrics["recons_loss.HF.time"]), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(scalars["perplexity.LF"]), float(metrics["perplexity.LF"]),
+        rtol=1e-5,
+    )

@@ -103,6 +103,16 @@ def load_stage1_bundle(cfg: Config, stage1_ckpt: str, use_pallas: bool = False):
     return model, frozen, spec, meta
 
 
+def _process_kwargs() -> dict:
+    """Multi-host input feeding (SURVEY.md §5.8): under >1 JAX processes each
+    host batches only its slice of the global batch; make_batches keeps the
+    shuffle RNG host-identical so slices partition one global order."""
+    pc = jax.process_count()
+    if pc > 1:
+        return {"process_index": jax.process_index(), "process_count": pc}
+    return {}
+
+
 # --------------------------------------------------------------------------
 # stage loops
 
@@ -182,12 +192,12 @@ def train_stage1(
         print(f"[stage1] resuming from step {start_step}")
     state = replicate_tree(mesh, state)
     train_step = jax.jit(make_stage1_train_step(model, tx), donate_argnums=0)
-    eval_step = jax.jit(make_stage1_eval_step(model))
+    eval_step = jax.jit(make_stage1_eval_step(model, per_sample=True))
 
     rng = jax.random.key(seed + 1)
     batches = prefetch_batches(
         make_batches(data.X_train, None, batch_size, shuffle=True, seed=seed,
-                     repeat=True),
+                     repeat=True, **_process_kwargs()),
         mesh,
     )
     state_box = [state]
@@ -198,13 +208,34 @@ def train_stage1(
         return metrics
 
     def eval_once(step):
-        n = min(len(data.X_test), batch_size)
+        """Validate over the FULL test split in fixed-shape batches (one
+        compiled program); the wrap-padded tail entries are dropped before
+        averaging, so metrics are exact full-split means."""
         m = mesh.devices.size
-        # pad to the mesh size by wrapping (val logging only)
-        idx = np.arange(-(-n // m) * m) % n
-        xe = shard_batch(mesh, jnp.asarray(data.X_test[idx]))
-        metrics, _ = eval_step(state_box[0], xe)
-        return metrics
+        bs = -(-min(batch_size, len(data.X_test)) // m) * m
+        N = len(data.X_test)
+        sums: dict = {}
+        scalar_sums: dict = {}
+        n_batches = 0
+        for s in range(0, N, bs):
+            idx = np.arange(s, s + bs) % N
+            real = min(bs, N - s)
+            xe = shard_batch(mesh, jnp.asarray(data.X_test[idx]))
+            per, scalars, _ = eval_step(state_box[0], xe)
+            for k, v in per.items():
+                sums[k] = sums.get(k, 0.0) + float(jnp.sum(v[:real]))
+            for k, v in scalars.items():
+                scalar_sums[k] = scalar_sums.get(k, 0.0) + float(v)
+            n_batches += 1
+        out = {k: v / N for k, v in sums.items()}
+        out.update({k: v / n_batches for k, v in scalar_sums.items()})
+        out["recons_loss.time"] = (
+            out["recons_loss.LF.time"] + out["recons_loss.HF.time"]
+        )
+        # commit loss is 0 outside training (reference vq.py:362-366), so the
+        # reference's val loss reduces to the recon terms.
+        out["loss"] = out["recons_loss.time"]
+        return out
 
     from tvqvae_tpu.utils.checkpoint import save_train_state
 
@@ -272,7 +303,7 @@ def train_stage2(
     rng = jax.random.key(seed + 1)
     batches = prefetch_batches(
         make_batches(data.X_train, data.y_train, batch_size, shuffle=True,
-                     seed=seed, repeat=True),
+                     seed=seed, repeat=True, **_process_kwargs()),
         mesh,
     )
     state_box = [state]
@@ -287,11 +318,15 @@ def train_stage2(
     if metrics is not None:
         from tvqvae_tpu.train.stage2 import make_sampling_fn
 
-        sample_fn = make_sampling_fn(model, t_l, t_h, spec)
         n_val = val_n_samples or min(
             cfg.evaluation.min_num_gen_samples, 1024
         )
         vbatch = cfg.evaluation.batch_size
+        # fan the val-time sampler out over the mesh when shapes allow
+        sample_fn = make_sampling_fn(
+            model, t_l, t_h, spec,
+            mesh=mesh if vbatch % mesh.devices.size == 0 else None,
+        )
 
         def eval_once(step):
             st = state_box[0]
@@ -390,7 +425,7 @@ def train_stage3(
     rng = jax.random.key(seed + 1)
     batches = prefetch_batches(
         make_batches(data.X_train, None, batch_size, shuffle=True, seed=seed,
-                     repeat=True),
+                     repeat=True, **_process_kwargs()),
         mesh,
     )
     state_box = [state]
@@ -411,14 +446,18 @@ def train_stage3(
         tree2, _ = load_checkpoint(stage2_ckpt)
         spec = MaskGITSpec.from_config(cfg, s1)
         t_l, t_h = build_transformers(cfg, s1, data.n_classes)
-        sample_fn = make_sampling_fn(model, t_l, t_h, spec)
-        fe_apply = jax.jit(
-            lambda p, x: fe.apply({"params": p}, x, False)
-        )
         n_val = val_n_samples or min(
             cfg.evaluation.min_num_gen_samples, 1024
         )
         vbatch = cfg.evaluation.batch_size
+        # fan the val-time sampler out over the mesh when shapes allow
+        sample_fn = make_sampling_fn(
+            model, t_l, t_h, spec,
+            mesh=mesh if vbatch % mesh.devices.size == 0 else None,
+        )
+        fe_apply = jax.jit(
+            lambda p, x: fe.apply({"params": p}, x, False)
+        )
 
         def eval_once(step):
             st = state_box[0]

@@ -81,12 +81,34 @@ def make_stage1_train_step(
     return step
 
 
-def make_stage1_eval_step(model: Stage1Model) -> Callable:
+def make_stage1_eval_step(model: Stage1Model, per_sample: bool = False) -> Callable:
+    """Eval step. Default: batch-mean metrics (reference val loss semantics —
+    commit loss is 0 outside training, vq.py:362-366). With per_sample=True,
+    returns ({name: (B,) per-sample losses}, {name: batch scalars}, out) so a
+    caller can average over the FULL validation split with wrap-padded fixed
+    batch shapes and no padding bias (reference validates the whole val
+    loader, scripts/train.py:109-113)."""
+    import jax.numpy as jnp
+
     def step(state: Stage1TrainState, x: jax.Array):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, state.vq_l, state.vq_h, False,
         )
+        if per_sample:
+            per = {
+                "recons_loss.LF.time": jnp.mean(
+                    (out.x_l - out.xhat_l) ** 2, axis=(1, 2)
+                ),
+                "recons_loss.HF.time": jnp.mean(
+                    jnp.abs(out.x_h - out.xhat_h), axis=(1, 2)
+                ),
+            }
+            scalars = {
+                "perplexity.LF": out.vq_l.perplexity,
+                "perplexity.HF": out.vq_h.perplexity,
+            }
+            return per, scalars, out
         total, metrics = stage1_losses(out)
         return metrics, out
 
