@@ -117,19 +117,39 @@ def make_batches(
     seed: int = 0,
     drop_remainder: bool = True,
     repeat: bool = False,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
     """Simple epoch-based numpy batcher.
 
     With drop_remainder (training), short final batches are dropped so the
     jitted step sees a single static batch shape. Eval keeps remainders.
+
+    Multi-host (SURVEY.md §5.8): pass process_index/process_count and each
+    process yields only its contiguous 1/process_count slice of every
+    *global* batch — batch_size stays the GLOBAL batch size, and the
+    permutation RNG is seeded identically on every host so the slices
+    partition the same global order. Pair with
+    parallel.make_process_global_batch to assemble the sharded global array
+    (jax.make_array_from_process_local_data).
     """
     N = X.shape[0]
+    if process_count is not None:
+        assert process_index is not None and 0 <= process_index < process_count
+        assert batch_size % process_count == 0, (
+            f"global batch {batch_size} not divisible by "
+            f"{process_count} processes"
+        )
+        per = batch_size // process_count
+        lo, hi = process_index * per, (process_index + 1) * per
+    else:
+        lo, hi = 0, batch_size
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(N) if shuffle else np.arange(N)
         stop = (N // batch_size) * batch_size if drop_remainder else N
         for i in range(0, stop, batch_size):
-            idx = order[i:i + batch_size]
+            idx = order[i:i + batch_size][lo:hi]
             yield X[idx], (y[idx] if y is not None else None)
         if not repeat:
             return

@@ -1,6 +1,7 @@
 from .mesh import (
     data_sharding,
     make_mesh,
+    make_process_global_batch,
     prefetch_batches,
     replicate_tree,
     shard_batch,
@@ -9,6 +10,7 @@ from .mesh import (
 __all__ = [
     "data_sharding",
     "make_mesh",
+    "make_process_global_batch",
     "prefetch_batches",
     "replicate_tree",
     "shard_batch",

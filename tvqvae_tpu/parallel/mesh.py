@@ -27,10 +27,37 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Single-process: a plain sharded device_put. Multi-process: the input is
+    this process's LOCAL slice of the global batch (see
+    data.make_batches(process_index=...)) and the global array is assembled
+    via make_process_global_batch.
+    """
+    if jax.process_count() > 1:
+        return make_process_global_batch(mesh, batch)
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
     )
+
+
+def make_process_global_batch(mesh: Mesh, local_batch):
+    """Assemble a globally-sharded batch from per-process local shards
+    (jax.make_array_from_process_local_data; SURVEY.md §5.8 multi-host).
+
+    Each process passes its contiguous 1/process_count slice of the global
+    batch; the result is a global jax.Array sharded over the `data` axis.
+    Works (degenerately) in a single process too, where local == global.
+    """
+    def put(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, x.ndim), x
+        )
+
+    return jax.tree.map(put, local_batch, is_leaf=lambda v: v is None)
 
 
 def replicate_tree(mesh: Mesh, tree):
@@ -40,30 +67,56 @@ def replicate_tree(mesh: Mesh, tree):
 
 
 def prefetch_batches(iterator, mesh: Mesh, size: int = 2):
-    """Double-buffer host batches onto the mesh.
+    """Pipeline host batches onto the mesh from a background thread.
 
-    jax transfers are async; keeping `size` batches in flight overlaps the
-    host->device copy (measured ~3 ms for a stage-1 batch through the
-    tunnel) with the previous step's compute.
+    Two overlaps: (1) jax transfers are async, so `size` batches stay in
+    flight ahead of the consumer (host->device copy measured ~3 ms for a
+    stage-1 batch through the tunnel); (2) a daemon thread advances the host
+    iterator (numpy batch assembly + device_put enqueue), so host input work
+    runs concurrently with the previous step's device compute instead of
+    serializing inside next() — on a slow host this is the difference
+    between input-bound and device-bound stepping.
     """
-    import collections
+    import queue
+    import threading
 
     import jax.numpy as jnp
 
-    q = collections.deque()
+    multiproc = jax.process_count() > 1
 
     def put(item):
-        q.append(jax.tree.map(
+        if multiproc:
+            return make_process_global_batch(mesh, item)
+        return jax.tree.map(
             lambda v: v if v is None else jax.device_put(
                 jnp.asarray(v), data_sharding(mesh, np.ndim(v))
             ),
             item,
             is_leaf=lambda v: v is None,
-        ))
+        )
 
-    for item in iterator:
-        put(item)
-        if len(q) > size:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
+    _END = object()
+
+    class _PrefetchError:
+        def __init__(self, exc):
+            self.exc = exc
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(put(item))
+        except Exception as e:  # surface errors at the consumer
+            q.put(_PrefetchError(e))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, _PrefetchError):
+            raise item.exc
+        yield item
