@@ -102,19 +102,18 @@ class TrainedModelSampler:
         )
         self._decode_jit = jax.jit(self._decode_impl)
 
-        # ESS path (reference maskgit.py:479-679; off unless configured)
+        # ESS path (reference maskgit.py:479-679; off unless configured).
+        # One jitted device program per batch, like the default sampler —
+        # the retraction loop is a lax.scan inside (no host round-trips).
         self.use_ess = bool(cfg.maskgit.ess_use)
         self._ess_rate = float(cfg.maskgit.ess_error_ratio_ma_rate)
-        pp = self._prior_params
-        ps = self._prior_stats
-        self._ess_apply_l = jax.jit(
-            lambda s, c: self.t_l.apply({"params": pp["l"]}, s, None, c, False)
-        )
-        self._ess_apply_h = jax.jit(
-            lambda s_l, s_h, c: self.t_h.apply(
-                {"params": pp["h"], "batch_stats": ps}, s_l, s_h, c, False
+        if self.use_ess:
+            from tvqvae_tpu.train.stage2 import make_ess_sampling_fn
+
+            self._ess_sample = make_ess_sampling_fn(
+                self.stage1_model, self.t_l, self.t_h, self.mg_spec,
+                self._ess_rate,
             )
-        )
 
     # ------------------------------------------------------------------
 
@@ -134,16 +133,10 @@ class TrainedModelSampler:
 
     def _sample_batch(self, rng, num: int, class_index: Optional[int]):
         if self.use_ess:
-            from tvqvae_tpu.models.maskgit import iterative_decoding_ess
-
-            s_l, s_h = iterative_decoding_ess(
-                rng, self.mg_spec, self._ess_apply_l, self._ess_apply_h,
-                self.frozen.vq_l.embed, self.frozen.vq_h.embed,
-                num, class_index, self._ess_rate,
+            x_l, x_h, x = self._ess_sample(
+                self.frozen, self._prior_params, self._prior_stats, rng, num,
+                class_index,
             )
-            x_l = decode_tokens(self.stage1_model, self.frozen, s_l, "lf")
-            x_h = decode_tokens(self.stage1_model, self.frozen, s_h, "hf")
-            x = x_l + x_h
         else:
             x_l, x_h, x = self._sample_tokens(
                 self.frozen, self._prior_params, self._prior_stats, rng, num,

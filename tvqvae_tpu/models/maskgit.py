@@ -372,53 +372,87 @@ def critical_reverse_sampling(
 ):
     """Step retraction: walk back from t=T-1 removing unrealistic tokens
     until the prediction-error ratio stops improving (reference :479-594).
-    Host loop over at most T-1 steps; each step is one jitted forward."""
-    import collections
 
-    g = gamma_fn(mode)
-    hist = collections.deque(maxlen=max(1, round(T * error_ratio_ma_rate)))
-    prev_error = None
-    t_star, s_star = 1, None
+    Device-resident: a single lax.scan over t = T-1..1 with the error-ratio
+    moving average carried as a fixed-size ring buffer; once the stop
+    condition fires the remaining iterations skip the transformer forward via
+    lax.cond. (The reference runs a Python loop of device round-trips; this
+    is one compiled program, jit/vmap-safe.)
+    """
+    g = gamma_fn_jnp(mode)
+    w = max(1, round(T * error_ratio_ma_rate))  # moving-average window
     conf_rank = _rank(confidence_scores, axis=-1)
+    z_true = jnp.take(embed, s, axis=0)
 
-    for t in range(T - 1, 0, -1):
-        ml_t = int(np.clip(np.floor(num_tokens * g((t + 1) / T)), 0, None))
-        ml_tm1 = int(np.clip(np.floor(num_tokens * g(t / T)), 0, None))
+    def mask_len(tf):
+        return jnp.clip(
+            jnp.floor(num_tokens * g(tf / T)), 0, None
+        ).astype(jnp.int32)
+
+    # fallback (reference :585-594, reached only when T <= 1): t_star=1 and
+    # re-mask with the t=2 schedule length
+    init = (
+        jnp.asarray(False),  # done
+        jnp.asarray(1, jnp.int32),  # t_star
+        jnp.where(conf_rank < mask_len(jnp.float32(2.0)), mask_token, s),
+        jnp.asarray(0.0, jnp.float32),  # prev error
+        jnp.zeros((w,), jnp.float32),  # ring buffer of error ratios
+        jnp.asarray(0, jnp.int32),  # ratios pushed so far
+    )
+
+    def body(carry, t):
+        done, t_star, s_star, prev, ring, count = carry
+        tf = t.astype(jnp.float32)
+        ml_t = mask_len(tf + 1.0)
+        ml_tm1 = mask_len(tf)
         masking_t = conf_rank < ml_t
-        masking_tm1 = conf_rank < ml_tm1
+        masked_t = jnp.where(masking_t, mask_token, s)
+        stop_eq = ml_t == ml_tm1  # schedule plateau: stop before forward
+        need_fwd = (~done) & (~stop_eq)
 
-        if ml_t == ml_tm1:
-            t_star = t
-            s_star = jnp.where(masking_t, mask_token, s)
-            break
+        def forward_path(op):
+            prev, ring, count = op
+            s_tm1 = jnp.where(conf_rank < ml_tm1, mask_token, s)
+            logits = apply_fn(s_tm1, class_condition)
+            s_hat = jnp.argmax(logits, axis=-1)
+            z_pred = jnp.take(embed, s_hat, axis=0)
+            sq = jnp.sum((z_true - z_pred) ** 2, axis=-1)
+            interest = (conf_rank < ml_tm1) & (~masking_t)  # revealed at t
+            err = jnp.sum(jnp.where(interest, sq, 0.0)) / jnp.maximum(
+                jnp.sum(interest), 1
+            )
+            is_first = t == T - 1  # first iteration only seeds prev_error
+            ratio = err / (prev + 1e-5)
+            pushed = ring.at[count % w].set(ratio)
+            new_ring = jnp.where(is_first, ring, pushed)
+            new_count = jnp.where(is_first, count, count + 1)
+            n_valid = jnp.minimum(new_count, w)
+            valid = jnp.arange(w) < n_valid
+            ma = jnp.sum(jnp.where(valid, new_ring, 0.0)) / jnp.maximum(
+                n_valid, 1
+            )
+            stop_hist = (~is_first) & (ma > 1.0)
+            return err, new_ring, new_count, stop_hist
 
-        s_tm1 = jnp.where(masking_tm1, mask_token, s)
-        logits = apply_fn(s_tm1, class_condition)
-        s_t_hat = jnp.argmax(logits, axis=-1)
+        def skip_path(op):
+            prev, ring, count = op
+            return prev, ring, count, jnp.asarray(False)
 
-        interest = masking_tm1 & (~masking_t)  # tokens revealed at step t
-        z_true = jnp.take(embed, s, axis=0)
-        z_pred = jnp.take(embed, s_t_hat, axis=0)
-        sq = jnp.sum((z_true - z_pred) ** 2, axis=-1)
-        denom = jnp.maximum(jnp.sum(interest), 1)
-        error = float(jnp.sum(jnp.where(interest, sq, 0.0)) / denom)
+        err, ring, count, stop_hist = jax.lax.cond(
+            need_fwd, forward_path, skip_path, (prev, ring, count)
+        )
+        stop_now = (~done) & (stop_eq | stop_hist | (t == 1))
+        return (
+            done | stop_now,
+            jnp.where(stop_now, t, t_star),
+            jnp.where(stop_now, masked_t, s_star),
+            jnp.where(need_fwd, err, prev),
+            ring,
+            count,
+        ), None
 
-        if t == T - 1:
-            prev_error = error
-        else:
-            hist.append(error / (prev_error + 1e-5))
-            prev_error = error
-            if float(np.mean(hist)) > 1.0:
-                t_star = t
-                s_star = jnp.where(masking_t, mask_token, s)
-                break
-        if t == 1:
-            t_star = t
-            s_star = jnp.where(masking_t, mask_token, s)
-    if s_star is None:
-        t_star = 1
-        ml = int(np.clip(np.floor(num_tokens * g(2 / T)), 0, None))
-        s_star = jnp.where(conf_rank < ml, mask_token, s)
+    ts = jnp.arange(T - 1, 0, -1)
+    (_, t_star, s_star, _, _, _), _ = jax.lax.scan(body, init, ts)
     return t_star, s_star
 
 
@@ -426,7 +460,7 @@ def decode_with_token_critic(
     rng: jax.Array,
     apply_fn: Callable,
     s: jax.Array,
-    t_star: int,
+    t_star,
     mask_token: int,
     T: int,
     num_tokens: int,
@@ -436,21 +470,31 @@ def decode_with_token_critic(
     mode: str = "cosine",
 ):
     """Resume decoding from t_star with self-token-critic confidences
-    (reference :596-652)."""
-    g = gamma_fn(mode)
-    for t in range(t_star, T):
-        rng, r_s, r_g = jax.random.split(rng, 3)
-        logits = apply_fn(s, class_condition)
-        sampled = jax.random.categorical(r_s, logits, axis=-1)
-        conf = compute_confidence_score(
-            apply_fn, sampled, mask_token, embed, class_condition
-        )
-        ratio = (t + 1) / T
-        ml = int(np.clip(np.floor(num_tokens * g(ratio)), 0, None))
-        temp = choice_temp * (1.0 - ratio)
-        confidence = jnp.log(conf + 1e-5) + temp * _gumbel(r_g, conf.shape)
-        masking = _rank(confidence, axis=-1) < ml
-        s = jnp.where(masking, mask_token, sampled)
+    (reference :596-652). Device loop: lax.scan over all t in [1, T) with
+    steps before t_star skipped via lax.cond (t_star may be a traced scalar
+    from critical_reverse_sampling)."""
+    g = gamma_fn_jnp(mode)
+
+    def body(s, t):
+        def active(s):
+            r_s, r_g = jax.random.split(jax.random.fold_in(rng, t))
+            logits = apply_fn(s, class_condition)
+            sampled = jax.random.categorical(r_s, logits, axis=-1)
+            conf = compute_confidence_score(
+                apply_fn, sampled, mask_token, embed, class_condition
+            )
+            ratio = (t.astype(jnp.float32) + 1.0) / T
+            ml = jnp.clip(
+                jnp.floor(num_tokens * g(ratio)), 0, None
+            ).astype(jnp.int32)
+            temp = choice_temp * (1.0 - ratio)
+            confidence = jnp.log(conf + 1e-5) + temp * _gumbel(r_g, conf.shape)
+            masking = _rank(confidence, axis=-1) < ml
+            return jnp.where(masking, mask_token, sampled)
+
+        return jax.lax.cond(t >= t_star, active, lambda x: x, s), None
+
+    s, _ = jax.lax.scan(body, s, jnp.arange(1, T))
     return s
 
 

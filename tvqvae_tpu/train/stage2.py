@@ -183,6 +183,44 @@ def make_sampling_fn(
     )
 
 
+def make_ess_sampling_fn(
+    stage1_model,
+    t_l: BidirectionalTransformer,
+    t_h: BidirectionalTransformer,
+    spec: MaskGITSpec,
+    error_ratio_ma_rate: float = 0.3,
+):
+    """Jitted ESS sampler (reference maskgit.py:479-679): naive LF decode ->
+    critical reverse sampling -> critic-guided re-decode -> HF pass ->
+    decoders, ONE device program per batch (the retraction loop is a
+    lax.scan inside). Same argument convention as make_sampling_fn: all
+    parameter trees are arguments, never closures."""
+    import jax as _jax
+
+    from tvqvae_tpu.models.maskgit import decode_tokens, iterative_decoding_ess
+
+    def sample(frozen: FrozenStage1, params, h_stats, rng, num: int, class_index):
+        def apply_l(s_l, cond):
+            return t_l.apply({"params": params["l"]}, s_l, None, cond, False)
+
+        def apply_h(s_l, s_h, cond):
+            return t_h.apply(
+                {"params": params["h"], "batch_stats": h_stats},
+                s_l, s_h, cond, False,
+            )
+
+        s_l, s_h = iterative_decoding_ess(
+            rng, spec, apply_l, apply_h,
+            frozen.vq_l.embed, frozen.vq_h.embed,
+            num, class_index, error_ratio_ma_rate,
+        )
+        x_l = decode_tokens(stage1_model, frozen, s_l, "lf")
+        x_h = decode_tokens(stage1_model, frozen, s_h, "hf")
+        return x_l, x_h, x_l + x_h
+
+    return _jax.jit(sample, static_argnames=("num", "class_index"))
+
+
 def make_prior_apply_fns(
     t_l: BidirectionalTransformer,
     t_h: BidirectionalTransformer,
