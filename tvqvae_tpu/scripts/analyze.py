@@ -75,6 +75,14 @@ def main(argv=None):
              "trajectories_generated.png")
         save(plots.plot_trajectories(data.X_test, la, lo, title="real"),
              "trajectories_real.png")
+        save(plots.plot_clustering(data.X_test, data.y_test, la, lo,
+                                   title="real trajectories per class"),
+             "clustering_real.png")
+        if "altitude" in feats:
+            save(plots.plot_altitude_map(X_gen, la, lo,
+                                         feats.index("altitude"),
+                                         title="generated altitude"),
+                 "altitude_map_generated.png")
     if "altitude" in feats:
         save(plots.plot_altitude(X_gen, feats.index("altitude")),
              "altitude_generated.png")

@@ -113,6 +113,81 @@ def plot_tsne(z_sets, labels, n: int = 512, title: str = "t-SNE"):
     return fig
 
 
+def _cartopy():
+    """Optional geo stack: (cartopy, ccrs) or (None, None).
+
+    Map backgrounds (reference plot_utils.py:63-100,158-230,306-384) light up
+    automatically when cartopy is installed (`pip install .[geo]`); without it
+    every geo plot degrades to plain lat/lon axes.
+    """
+    try:
+        import cartopy
+        import cartopy.crs as ccrs
+
+        return cartopy, ccrs
+    except ImportError:
+        return None, None
+
+
+def geographic_extent(
+    X: np.ndarray, lat_idx: int = 0, lon_idx: int = 1, margin: float = 0.5
+):
+    """[lon_min, lon_max, lat_min, lat_max] with a margin, from (B, C, L)
+    trajectories (reference plot_utils.py:24-43 extract_geographic_info)."""
+    lats = np.asarray(X)[:, lat_idx, :]
+    lons = np.asarray(X)[:, lon_idx, :]
+    return [
+        float(lons.min() - margin), float(lons.max() + margin),
+        float(lats.min() - margin), float(lats.max() + margin),
+    ]
+
+
+def _class_colors(n: int):
+    """husl-like categorical palette (reference uses seaborn husl,
+    plot_utils.py:114)."""
+    try:
+        import seaborn as sns
+
+        return sns.color_palette("husl", max(n, 1))
+    except ImportError:
+        return [f"C{i % 10}" for i in range(max(n, 1))]
+
+
+def _map_axes(fig_or_none, nrows=1, ncols=1, figsize=(5, 5)):
+    """(fig, axes, is_map): GeoAxes grid under cartopy, plain axes without."""
+    cartopy, ccrs = _cartopy()
+    if cartopy is not None:
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=figsize,
+            subplot_kw={"projection": ccrs.EuroPP()}, squeeze=False,
+        )
+        return fig, axes, True
+    fig, axes = plt.subplots(nrows, ncols, figsize=figsize, squeeze=False)
+    return fig, axes, False
+
+
+def _decorate_map(ax, extent=None, airports: Optional[dict] = None):
+    """Coastlines/borders/gridlines + airport markers on a GeoAxes
+    (reference plot_utils.py:74-95)."""
+    cartopy, ccrs = _cartopy()
+    pc = ccrs.PlateCarree()
+    ax.coastlines()
+    import cartopy.feature as cfeature
+
+    ax.add_feature(cfeature.BORDERS, linestyle=":", alpha=1.0)
+    if extent is not None:
+        ax.set_extent(extent, crs=pc)
+    for (name, (lat, lon)), color, tag in zip(
+        (airports or {}).items(), ["red", "green"], ["Origin", "Destination"]
+    ):
+        ax.scatter([lon], [lat], color=color, s=300, zorder=5,
+                   label=f"{tag}: {name}", transform=pc)
+    gl = ax.gridlines(draw_labels=True, color="gray", alpha=0.5,
+                      linestyle="--")
+    gl.top_labels = False
+    gl.right_labels = False
+
+
 def plot_trajectories(
     X: np.ndarray,
     lat_idx: int = 0,
@@ -120,31 +195,87 @@ def plot_trajectories(
     labels: Optional[np.ndarray] = None,
     title: str = "trajectories",
     max_n: int = 200,
+    airports: Optional[dict] = None,
 ):
-    """Lat/lon trajectory plot, cluster-colored when labels given
-    (reference plot_utils.py:63-146; map background omitted without
-    cartopy)."""
-    fig = plt.figure(figsize=(5, 5))
-    plt.title(title)
+    """Lat/lon trajectory plot, cluster-colored when labels given, with an
+    EuroPP map background + airport markers when cartopy is available
+    (reference plot_utils.py:63-146); plain axes otherwise.
+
+    airports: {ICAO: (lat, lon)} — first entry drawn as origin (red), second
+    as destination (green), like the reference's ADEP/ADES markers.
+    """
+    fig, axes, is_map = _map_axes(None, figsize=(6, 6))
+    ax = axes[0][0]
+    ax.set_title(title)
     n = min(max_n, X.shape[0])
+    kw = {}
+    if is_map:
+        _, ccrs = _cartopy()
+        kw["transform"] = ccrs.PlateCarree()
     if labels is None:
         for i in range(n):
-            plt.plot(X[i, lon_idx], X[i, lat_idx], alpha=0.2, color="C0")
+            ax.plot(X[i, lon_idx], X[i, lat_idx], alpha=0.2,
+                    color="darkblue", linewidth=1, **kw)
     else:
+        colors = _class_colors(int(np.max(labels)) + 1)
         for i in range(n):
-            plt.plot(
-                X[i, lon_idx], X[i, lat_idx], alpha=0.3,
-                color=f"C{int(labels[i]) % 10}",
-            )
-    plt.xlabel("longitude")
-    plt.ylabel("latitude")
-    plt.tight_layout()
+            ax.plot(X[i, lon_idx], X[i, lat_idx], alpha=0.3,
+                    color=colors[int(labels[i])], linewidth=1, **kw)
+    if is_map:
+        _decorate_map(ax, geographic_extent(X[:n], lat_idx, lon_idx),
+                      airports)
+        if airports:
+            ax.legend(loc="upper right")
+    else:
+        ax.set_xlabel("longitude")
+        ax.set_ylabel("latitude")
+    fig.tight_layout()
+    return fig
+
+
+def plot_clustering(
+    X: np.ndarray,
+    labels: np.ndarray,
+    lat_idx: int = 0,
+    lon_idx: int = 1,
+    title: str = "trajectories per class",
+    max_n_per_class: int = 200,
+    airports: Optional[dict] = None,
+):
+    """One map panel per cluster, husl-colored (reference
+    plot_utils.py:158-230 plot_clustering); plain axes without cartopy."""
+    labels = np.asarray(labels).reshape(-1)
+    n_clusters = int(labels.max()) + 1
+    colors = _class_colors(n_clusters)
+    fig, axes, is_map = _map_axes(
+        None, 1, n_clusters, figsize=(5 * n_clusters, 6)
+    )
+    kw = {}
+    if is_map:
+        _, ccrs = _cartopy()
+        kw["transform"] = ccrs.PlateCarree()
+    extent = geographic_extent(X, lat_idx, lon_idx)
+    for c in range(n_clusters):
+        ax = axes[0][c]
+        idx = np.nonzero(labels == c)[0][:max_n_per_class]
+        for i in idx:
+            ax.plot(X[i, lon_idx], X[i, lat_idx], alpha=0.2,
+                    color=colors[c], linewidth=1, **kw)
+        if is_map:
+            _decorate_map(ax, extent, airports)
+        else:
+            ax.set_xlabel("longitude")
+            ax.set_ylabel("latitude")
+        ax.set_title(f"Class {c}")
+    fig.suptitle(title, fontsize=16)
+    fig.tight_layout()
     return fig
 
 
 def plot_altitude(X: np.ndarray, alt_idx: int = 2, title: str = "altitude",
                   max_n: int = 200):
-    """Altitude profiles (reference plot_utils.py:306-384)."""
+    """Altitude profiles over time (plain axes; for the reference's
+    map-scatter variant see plot_altitude_map, plot_utils.py:306-384)."""
     fig = plt.figure(figsize=(5, 3))
     plt.title(title)
     for i in range(min(max_n, X.shape[0])):
@@ -152,6 +283,55 @@ def plot_altitude(X: np.ndarray, alt_idx: int = 2, title: str = "altitude",
     plt.xlabel("timestep")
     plt.ylabel("altitude")
     plt.tight_layout()
+    return fig
+
+
+def plot_altitude_map(
+    X: np.ndarray,
+    lat_idx: int = 0,
+    lon_idx: int = 1,
+    alt_idx: int = 2,
+    title: str = "altitude",
+    max_n: int = 50,
+    stride: int = 8,
+):
+    """Trajectories on a map with altitude as color/size (reference
+    plot_utils.py:306-384 plot_altitude, Basemap merc -> cartopy Mercator).
+    Without cartopy: the same scatter on plain lat/lon axes."""
+    cartopy, ccrs = _cartopy()
+    n = min(max_n, X.shape[0])
+    lats = np.asarray(X)[:n, lat_idx, ::stride].ravel()
+    lons = np.asarray(X)[:n, lon_idx, ::stride].ravel()
+    alts = np.asarray(X)[:n, alt_idx, ::stride].ravel()
+
+    if cartopy is not None:
+        fig, ax = plt.subplots(
+            figsize=(9, 8), subplot_kw={"projection": ccrs.Mercator()}
+        )
+        pc = ccrs.PlateCarree()
+        import cartopy.feature as cfeature
+
+        ax.coastlines(resolution="50m")
+        ax.add_feature(cfeature.LAND, color="lightgray")
+        ax.add_feature(cfeature.OCEAN, color="azure")
+        ax.add_feature(cfeature.BORDERS, linestyle=":")
+        ax.set_extent(geographic_extent(X[:n], lat_idx, lon_idx), crs=pc)
+        kw = {"transform": pc}
+    else:
+        fig, ax = plt.subplots(figsize=(9, 8))
+        ax.set_xlabel("longitude")
+        ax.set_ylabel("latitude")
+        kw = {}
+    for i in range(n):
+        ax.plot(X[i, lon_idx], X[i, lat_idx], color="black", alpha=0.2,
+                zorder=1, **kw)
+    sc = ax.scatter(lons, lats, c=alts, cmap="viridis",
+                    s=10 + 40 * (alts - alts.min()) /
+                    max(alts.max() - alts.min(), 1e-9),
+                    zorder=2, **kw)
+    fig.colorbar(sc, ax=ax, aspect=30, label="Altitude (feet)")
+    ax.set_title(title)
+    fig.tight_layout()
     return fig
 
 
