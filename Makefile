@@ -15,7 +15,7 @@ CONFIG ?=
 CONFIG_FLAG := $(if $(CONFIG),--config $(CONFIG),)
 
 .PHONY: preprocess preprocess_landing train train_fcn generate evaluate \
-        evaluate_flyability test bench
+        evaluate_flyability test test-fast bench
 
 preprocess:
 	python -m tvqvae_tpu.scripts.preprocess --ADEP $(ADEP) --ADES $(ADES) \
@@ -54,6 +54,11 @@ evaluate_flyability:
 
 test:
 	python -m pytest tests/ -x -q
+
+# fast tier: unit/golden/parity tests only (the e2e/CLI/pipeline tests are
+# marked `slow`)
+test-fast:
+	python -m pytest tests/ -x -q -m "not slow"
 
 bench:
 	python bench.py

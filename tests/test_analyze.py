@@ -1,6 +1,10 @@
 """Analysis CLI test: regenerates the reference's notebook artifact suite
 from a dataset + synthetic npz + distances JSON."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

@@ -1,6 +1,10 @@
 """CLI surface tests: train -> generate -> evaluate wired end to end on a
 tiny synthetic dataset (reference Makefile workflow, SURVEY.md §1 L6)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

@@ -7,6 +7,10 @@ annotation, destination truncation, and distance scoring end to end
 without the real simulator (SURVEY.md §4 test strategy, point e).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import stat
 import textwrap

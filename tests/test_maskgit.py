@@ -1,6 +1,10 @@
 """Tests for the transformer prior, masking semantics, and the lax.scan
 iterative decoder."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -4,6 +4,10 @@ CPU mesh with a tiny synthetic dataset. This is the end-to-end path the
 reference exercises via `make train` + `make generate` (SURVEY.md §3.1-3.2).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,10 @@
 """Mid-stage checkpoint/resume: a capability the reference lacks
 (SURVEY.md §5.4 — enable_checkpointing=False, no restarts)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import numpy as np

@@ -1,5 +1,9 @@
 """Fidelity-enhancer U-Net shape tests + stage-3 training smoke test."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

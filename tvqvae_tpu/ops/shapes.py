@@ -14,7 +14,7 @@ closed form from (L, n_fft, downsampled_width):
     (reference train_utils.py:413-418).
 
 Verified against the reference geometry for the published EHAM->LIMC dataset
-(L=4633: LF -> (3, 9), HF -> (3, 36)) in tests/test_shapes.py.
+(L=4633: LF -> (3, 9), HF -> (3, 36)) in tests/test_ops.py.
 """
 
 import math
