@@ -80,7 +80,7 @@ def _chunk_rates(fn, n_chunks: int, chunk: int, unit_per_call: float = 1.0):
     return np.asarray(rates)
 
 
-def setup_stage1(cfg, B, C, L):
+def setup_stage1(cfg, B, C, L, compute_dtype="float32"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -90,7 +90,7 @@ def setup_stage1(cfg, B, C, L):
     from tvqvae_tpu.train.stage1 import create_stage1_state
     from tvqvae_tpu.utils import warmup_cosine_schedule
 
-    spec = Stage1Spec.from_config(cfg, L, C)
+    spec = Stage1Spec.from_config(cfg, L, C, compute_dtype=compute_dtype)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32
     )
@@ -103,10 +103,11 @@ def setup_stage1(cfg, B, C, L):
     return spec, model, step, state, x
 
 
-def bench_stage1(cfg, B=32, C=4, L=4633, warmup=10, chunks=5, chunk=10):
+def bench_stage1(cfg, B=32, C=4, L=4633, warmup=10, chunks=5, chunk=10,
+                 compute_dtype="float32"):
     import jax
 
-    spec, model, step, state, x = setup_stage1(cfg, B, C, L)
+    spec, model, step, state, x = setup_stage1(cfg, B, C, L, compute_dtype)
     rng = jax.random.key(1)
 
     # FLOPs of the compiled step for MFU (before donation consumes buffers)
@@ -257,6 +258,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vq-sweep", action="store_true")
     ap.add_argument("--train-loop", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 conv-stack compute (measurement mode; "
+                         "the driver line stays fp32 unless passed)")
     args = ap.parse_args()
 
     from tvqvae_tpu.config import Config
@@ -271,7 +275,8 @@ def main():
         print(json.dumps(bench_train_loop(cfg)))
         return
 
-    s1, spec, state = bench_stage1(cfg)
+    dtype = "bfloat16" if args.bf16 else "float32"
+    s1, spec, state = bench_stage1(cfg, compute_dtype=dtype)
     gen = bench_generation(cfg, spec, state)
 
     sps = s1["steps_per_sec_p50"]

@@ -131,3 +131,47 @@ def test_fcn_shapes():
     assert logits.shape == (3, 5)
     feats = fcn.apply(vars_, x, False, features=True)
     assert feats.shape == (3, 128)
+
+
+def test_stage1_bf16_compute_close_to_fp32():
+    """bfloat16 conv-stack compute (params fp32) stays finite and close to
+    the fp32 forward; params are dtype-agnostic so the same tree serves both."""
+    from tvqvae_tpu.models import Stage1Spec, init_stage1
+    from tvqvae_tpu.models.stage1 import Stage1Model
+
+    cfg = Config.from_dict(
+        {
+            "encoder": {
+                "init_dim": 4, "hid_dim": 16, "n_resnet_blocks": 1,
+                "downsampled_width": {"lf": 4, "hf": 8},
+            },
+            "decoder": {"n_resnet_blocks": 1},
+            "VQ-VAE": {"n_fft": 4, "codebook_sizes": {"lf": 8, "hf": 8}},
+        }
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 2, 96)), jnp.float32
+    )
+    spec32 = Stage1Spec.from_config(cfg, 96, 2)
+    model32, params, batch_stats, vq_l, vq_h = init_stage1(
+        jax.random.key(0), spec32, x
+    )
+    spec16 = Stage1Spec.from_config(cfg, 96, 2, compute_dtype="bfloat16")
+    model16 = Stage1Model(spec16)
+
+    out32 = model32.apply(
+        {"params": params, "batch_stats": batch_stats}, x, vq_l, vq_h, False
+    )
+    out16 = model16.apply(
+        {"params": params, "batch_stats": batch_stats}, x, vq_l, vq_h, False
+    )
+    assert out16.xhat_l.dtype == jnp.float32  # cast back before losses
+    assert bool(jnp.isfinite(out16.xhat_l).all())
+    assert bool(jnp.isfinite(out16.xhat_h).all())
+    # bf16 has ~3 decimal digits; outputs should agree loosely
+    scale = float(jnp.abs(out32.xhat_l).max()) + 1e-6
+    err = float(jnp.abs(out16.xhat_l - out32.xhat_l).max()) / scale
+    assert err < 0.1, err
+    # token assignments should mostly agree (VQ runs fp32 on both paths)
+    agree = float((out16.vq_l.indices == out32.vq_l.indices).mean())
+    assert agree > 0.9, agree

@@ -14,7 +14,7 @@ the boundary. Torch-geometry parity notes:
     eps 1e-5), with running stats in the `batch_stats` collection.
 """
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ class ConvTranspose2dTorch(nn.Module):
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int]
     padding: Tuple[int, int]  # torch-style symmetric padding
+    dtype: Any = jnp.float32  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
@@ -61,14 +62,14 @@ class ConvTranspose2dTorch(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         out = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
             lhs_dilation=self.strides,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return out + bias
+        return out + bias.astype(self.dtype)
 
 
 def batch_norm(train: bool) -> nn.BatchNorm:
@@ -85,6 +86,7 @@ class ResBlock2d(nn.Module):
     out_channels: int
     frequency_independence: bool
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -92,17 +94,19 @@ class ResBlock2d(nn.Module):
         ksize = (1, 3) if self.frequency_independence else (3, 3)
         pad = (0, 1) if self.frequency_independence else (1, 1)
 
+        x = x.astype(self.dtype)
         h = Snake(in_ch)(x)
-        h = nn.Conv(self.out_channels, ksize,
+        h = nn.Conv(self.out_channels, ksize, dtype=self.dtype,
                     padding=[(pad[0], pad[0]), (pad[1], pad[1])])(h)
-        h = batch_norm(train)(h)
+        # BatchNorm statistics in fp32 regardless of compute dtype
+        h = batch_norm(train)(h.astype(jnp.float32)).astype(self.dtype)
         h = Snake(self.out_channels)(h)
-        h = nn.Conv(self.out_channels, ksize,
+        h = nn.Conv(self.out_channels, ksize, dtype=self.dtype,
                     padding=[(pad[0], pad[0]), (pad[1], pad[1])])(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
 
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1))(x)
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
         return x + h
 
 
@@ -113,6 +117,7 @@ class EncBlock2d(nn.Module):
     out_channels: int
     frequency_independence: bool
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -120,10 +125,12 @@ class EncBlock2d(nn.Module):
         pad = (0, 1) if self.frequency_independence else (1, 1)
         # replicate ("edge") padding, then VALID conv
         x = jnp.pad(
-            x, ((0, 0), (pad[0], pad[0]), (pad[1], pad[1]), (0, 0)), mode="edge"
+            x.astype(self.dtype),
+            ((0, 0), (pad[0], pad[0]), (pad[1], pad[1]), (0, 0)), mode="edge"
         )
-        x = nn.Conv(self.out_channels, ksize, strides=(1, 2), padding="VALID")(x)
-        x = batch_norm(train)(x)
+        x = nn.Conv(self.out_channels, ksize, strides=(1, 2), padding="VALID",
+                    dtype=self.dtype)(x)
+        x = batch_norm(train)(x.astype(jnp.float32)).astype(self.dtype)
         x = Snake(self.out_channels)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -136,13 +143,15 @@ class DecBlock2d(nn.Module):
     out_channels: int
     frequency_independence: bool
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         ksize = (1, 4) if self.frequency_independence else (3, 4)
         pad = (0, 1) if self.frequency_independence else (1, 1)
-        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad)(x)
-        x = batch_norm(train)(x)
+        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad,
+                                 dtype=self.dtype)(x)
+        x = batch_norm(train)(x.astype(jnp.float32)).astype(self.dtype)
         x = Snake(self.out_channels)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

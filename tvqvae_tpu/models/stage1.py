@@ -62,10 +62,14 @@ class Stage1Spec:
     vq_h: VQParams
     dropout_enc: float = 0.3
     dropout_dec: float = 0.3
+    # conv-stack compute dtype ("float32" | "bfloat16"); params/BN stats/VQ/
+    # losses stay fp32. bf16 halves activation HBM traffic on TPU.
+    compute_dtype: str = "float32"
 
     @staticmethod
     def from_config(
-        cfg: Config, input_length: int, in_channels: int, use_pallas: bool = False
+        cfg: Config, input_length: int, in_channels: int,
+        use_pallas: bool = False, compute_dtype: str = "float32",
     ) -> "Stage1Spec":
         g_l = token_geometry(
             input_length, cfg.vqvae.n_fft, cfg.encoder.downsampled_width["lf"]
@@ -102,6 +106,7 @@ class Stage1Spec:
             vq_h=mk_vq("hf"),
             dropout_enc=cfg.encoder.dropout,
             dropout_dec=cfg.decoder.dropout,
+            compute_dtype=compute_dtype,
         )
 
 
@@ -122,22 +127,23 @@ class Stage1Model(nn.Module):
 
     def setup(self):
         s = self.spec
+        dt = jnp.dtype(s.compute_dtype)
         self.encoder_l = VQVAEEncoder(
             s.init_dim, s.hid_dim, s.halvings_l, s.n_resnet_blocks_enc,
-            dropout=s.dropout_enc,
+            dropout=s.dropout_enc, dtype=dt,
         )
         self.encoder_h = VQVAEEncoder(
             s.init_dim, s.hid_dim, s.halvings_h, s.n_resnet_blocks_enc,
-            dropout=s.dropout_enc,
+            dropout=s.dropout_enc, dtype=dt,
         )
         spectral_ch = 2 * s.in_channels
         self.decoder_l = VQVAEDecoder(
             s.init_dim, s.hid_dim, spectral_ch, s.halvings_l,
-            s.n_resnet_blocks_dec, dropout=s.dropout_dec,
+            s.n_resnet_blocks_dec, dropout=s.dropout_dec, dtype=dt,
         )
         self.decoder_h = VQVAEDecoder(
             s.init_dim, s.hid_dim, spectral_ch, s.halvings_h,
-            s.n_resnet_blocks_dec, dropout=s.dropout_dec,
+            s.n_resnet_blocks_dec, dropout=s.dropout_dec, dtype=dt,
         )
         self.head_l = TimeHead(s.input_length)
         self.head_h = TimeHead(s.input_length)

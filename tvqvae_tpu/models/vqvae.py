@@ -18,6 +18,9 @@ TPU-first organization:
     applied by the caller via `TimeHead`.
 """
 
+from typing import Any
+
+import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import ConvTranspose2dTorch, DecBlock2d, EncBlock2d, ResBlock2d
@@ -32,23 +35,26 @@ class VQVAEEncoder(nn.Module):
     n_resnet_blocks: int
     frequency_independence: bool = False
     dropout: float = 0.3
+    dtype: Any = jnp.float32  # compute dtype for the conv stack (params fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.init_dim
-        x = EncBlock2d(d, self.frequency_independence)(x, train)
+        x = EncBlock2d(d, self.frequency_independence, dtype=self.dtype)(x, train)
         d *= 2
         for _ in range(self.num_halvings - 1):
-            x = EncBlock2d(d, self.frequency_independence)(x, train)
+            x = EncBlock2d(d, self.frequency_independence, dtype=self.dtype)(x, train)
             for _ in range(self.n_resnet_blocks):
                 x = ResBlock2d(
-                    d, self.frequency_independence, dropout=self.dropout
+                    d, self.frequency_independence, dropout=self.dropout,
+                    dtype=self.dtype,
                 )(x, train)
             d *= 2
         x = ResBlock2d(
-            self.hid_dim, self.frequency_independence, dropout=self.dropout
+            self.hid_dim, self.frequency_independence, dropout=self.dropout,
+            dtype=self.dtype,
         )(x, train)
-        return x
+        return x.astype(jnp.float32)  # VQ distances always fp32
 
 
 class VQVAEDecoder(nn.Module):
@@ -62,6 +68,7 @@ class VQVAEDecoder(nn.Module):
     n_resnet_blocks: int
     frequency_independence: bool = False
     dropout: float = 0.3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -70,19 +77,21 @@ class VQVAEDecoder(nn.Module):
         ksize = (1, 4) if self.frequency_independence else (3, 4)
         pad = (0, 1) if self.frequency_independence else (1, 1)
 
-        x = ResBlock2d(d, self.frequency_independence, dropout=self.dropout)(
-            z, train
-        )
+        x = ResBlock2d(d, self.frequency_independence, dropout=self.dropout,
+                       dtype=self.dtype)(z, train)
         for _ in range(k - 1):
             for _ in range(self.n_resnet_blocks):
                 x = ResBlock2d(
-                    d, self.frequency_independence, dropout=self.dropout
+                    d, self.frequency_independence, dropout=self.dropout,
+                    dtype=self.dtype,
                 )(x, train)
             d //= 2
-            x = DecBlock2d(d, self.frequency_independence)(x, train)
-        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad)(x)
-        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad)(x)
-        return x
+            x = DecBlock2d(d, self.frequency_independence, dtype=self.dtype)(x, train)
+        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad,
+                                 dtype=self.dtype)(x)
+        x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad,
+                                 dtype=self.dtype)(x)
+        return x.astype(jnp.float32)  # iSTFT + losses in fp32
 
 
 class TimeHead(nn.Module):

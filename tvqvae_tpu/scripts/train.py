@@ -31,6 +31,9 @@ def build_argparser():
     p.add_argument("--search_tau", action="store_true",
                    help="run the FID-matching SVQ-temperature search before "
                         "stage 3 (reference defines but never calls it)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute in the stage-1 conv stacks "
+                        "(params/BN stats/VQ/losses stay fp32)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas VQ kernel in stage 1")
     p.add_argument("--no_val_metrics", action="store_true",
@@ -95,6 +98,7 @@ def main(argv=None):
                 runner.train_stage1(
                     cfg, data, paths["1"], log, max_steps=args.max_steps,
                     use_pallas=args.use_pallas, seed=args.seed,
+                    compute_dtype="bfloat16" if args.bf16 else "float32",
                 )
             elif stage == "2":
                 runner.train_stage2(

@@ -163,13 +163,15 @@ def train_stage1(
     use_pallas: bool = False,
     seed: int = 0,
     resume: bool = True,
+    compute_dtype: str = "float32",
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
     max_steps = max_steps or cfg.trainer_params.max_steps["stage1"]
 
     spec = Stage1Spec.from_config(
-        cfg, data.input_length, data.in_channels, use_pallas=use_pallas
+        cfg, data.input_length, data.in_channels, use_pallas=use_pallas,
+        compute_dtype=compute_dtype,
     )
     x0 = jnp.asarray(data.X_train[:batch_size])
     model, params, batch_stats, vq_l, vq_h = init_stage1(
