@@ -20,15 +20,32 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _primary_host() -> bool:
+    """True when this process should write checkpoints. All saved trees are
+    fully replicated (params/codebooks/opt state), so under multi-host SPMD
+    only process 0 writes; the others barrier so nobody races ahead with a
+    half-written file on shared storage."""
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
+def _multihost_barrier(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> None:
     path = os.path.abspath(path)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    ckptr = ocp.PyTreeCheckpointer()
-    tree = jax.tree.map(np.asarray, tree)
-    ckptr.save(path, tree, force=True)
-    if meta is not None:
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f, indent=2, default=_json_default)
+    if _primary_host():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = jax.tree.map(np.asarray, tree)
+        ckptr.save(path, tree, force=True)
+        if meta is not None:
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f, indent=2, default=_json_default)
+    _multihost_barrier(f"save_checkpoint:{path}")
 
 
 def load_checkpoint(path: str) -> Tuple[Any, Optional[dict]]:
@@ -64,11 +81,13 @@ def save_train_state(path: str, state: Any) -> None:
     from flax import serialization
 
     path = os.path.abspath(path)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(jax.tree.map(np.asarray, state)))
-    os.replace(tmp, path)  # atomic: a crash never leaves a torn snapshot
+    if _primary_host():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(jax.tree.map(np.asarray, state)))
+        os.replace(tmp, path)  # atomic: a crash never leaves a torn snapshot
+    _multihost_barrier(f"save_train_state:{path}")
 
 
 def load_train_state(path: str, template: Any) -> Any:
