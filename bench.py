@@ -19,10 +19,19 @@ is a conservative claim. extra.vs_reference_cpu_measured is the fully
 measured (same-host CPU anchor) ratio. extra.mfu_* grounds the absolute
 number against the chip's peak.
 
+Compute dtype: the driver line measures the bfloat16 conv-stack path
+(params/BN stats/VQ/losses fp32) — the recommended production mode, quality-
+validated end-to-end by tools/quality_run.py --bf16 (FID ladder floor 0.0006
+-> rec 0.0014 -> gen 0.0055 << noise 0.82 on the structured-synthetic check,
+same order as the fp32 run; see PERF.md). `--fp32` measures full-fp32.
+
 Modes:
-  python bench.py                 # driver mode: one JSON line
+  python bench.py                 # driver mode: one JSON line (bf16)
+  python bench.py --fp32          # full-fp32 measurement
   python bench.py --vq-sweep      # XLA vs Pallas VQ kernel sweep (table)
   python bench.py --train-loop    # host-inclusive runner window
+  python bench.py --stage2        # stage-2 prior training step
+  python bench.py --stage3        # stage-3 fidelity-enhancer training step
 """
 
 import argparse
@@ -214,6 +223,127 @@ def bench_train_loop(cfg, B=32, C=4, L=4633, n_data=1024, steps=120):
     }
 
 
+def bench_stage2(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10):
+    """Stage-2 (MaskGIT prior) training step at the published config
+    (batch_sizes.stage2=16): frozen stage-1 encode -> random masking -> both
+    prior transformers -> masked CE -> AdamW."""
+    import jax
+    import optax
+
+    from tvqvae_tpu.models.maskgit import FrozenStage1, MaskGITSpec, build_transformers
+    from tvqvae_tpu.train.stage2 import (
+        create_stage2_state,
+        init_stage2,
+        make_stage2_train_step,
+    )
+    from tvqvae_tpu.utils import warmup_cosine_schedule
+
+    spec, model, _, s1_state, _ = setup_stage1(cfg, B, C, L)
+    frozen = FrozenStage1(
+        params=s1_state.params, batch_stats=s1_state.batch_stats,
+        vq_l=s1_state.vq_l, vq_h=s1_state.vq_h,
+    )
+    mg = MaskGITSpec.from_config(cfg, spec)
+    t_l, t_h = build_transformers(cfg, spec, n_classes=5)
+    p2, h_stats = init_stage2(jax.random.key(2), t_l, t_h, mg)
+    tx = optax.adamw(warmup_cosine_schedule(1e-3, 200000), weight_decay=0.01)
+    state = create_stage2_state(p2, h_stats, tx)
+    step = jax.jit(make_stage2_train_step(model, t_l, t_h, mg, tx),
+                   donate_argnums=0)
+
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32)
+    y = jnp.zeros((B, 1), jnp.int32)
+    rng = jax.random.key(1)
+    flops = _compiled_flops(step.lower(state, frozen, x, y, rng).compile())
+
+    for _ in range(warmup):
+        state, m = step(state, frozen, x, y, rng)
+    jax.block_until_ready(m)
+    box = [state]
+
+    def one():
+        box[0], mm = step(box[0], frozen, x, y, rng)
+        return mm
+
+    rates = _chunk_rates(one, chunks, chunk)
+    out = {
+        "stage2_steps_per_sec_p50": float(np.percentile(rates, 50)),
+        "stage2_steps_per_sec_p10": float(np.percentile(rates, 10)),
+        "stage2_steps_per_sec_p90": float(np.percentile(rates, 90)),
+        "batch": B,
+    }
+    peak, kind = _peak_flops()
+    if flops is not None:
+        out["flops_per_step"] = flops
+        if peak:
+            out["mfu_vs_bf16_peak"] = float(
+                flops * out["stage2_steps_per_sec_p50"] / peak
+            )
+    return out
+
+
+def bench_stage3(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10):
+    """Stage-3 (fidelity enhancer) training step at the published config
+    (batch_sizes.stage3=16): frozen SVQ roundtrip -> U-Net FE -> L1 -> AdamW."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tvqvae_tpu.models.fidelity_enhancer import FidelityEnhancer
+    from tvqvae_tpu.models.maskgit import FrozenStage1
+    from tvqvae_tpu.train.stage3 import (
+        create_stage3_state,
+        init_stage3,
+        make_stage3_train_step,
+    )
+    from tvqvae_tpu.utils import warmup_cosine_schedule
+
+    spec, model, _, s1_state, _ = setup_stage1(cfg, B, C, L)
+    frozen = FrozenStage1(
+        params=s1_state.params, batch_stats=s1_state.batch_stats,
+        vq_l=s1_state.vq_l, vq_h=s1_state.vq_h,
+    )
+    fe = FidelityEnhancer(
+        input_length=L, in_channels=C, dim=cfg.fidelity_enhancer.dim,
+        dim_mults=tuple(cfg.fidelity_enhancer.dim_mults),
+        resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
+        dropout=cfg.fidelity_enhancer.dropout,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32)
+    params = init_stage3(jax.random.key(3), fe, x)
+    tx = optax.adamw(warmup_cosine_schedule(1e-3, 50000), weight_decay=0.01)
+    state = create_stage3_state(params, tx)
+    step = jax.jit(make_stage3_train_step(model, fe, tx), donate_argnums=0)
+    rng = jax.random.key(1)
+    flops = _compiled_flops(step.lower(state, frozen, x, rng).compile())
+
+    for _ in range(warmup):
+        state, m = step(state, frozen, x, rng)
+    jax.block_until_ready(m)
+    box = [state]
+
+    def one():
+        box[0], mm = step(box[0], frozen, x, rng)
+        return mm
+
+    rates = _chunk_rates(one, chunks, chunk)
+    out = {
+        "stage3_steps_per_sec_p50": float(np.percentile(rates, 50)),
+        "stage3_steps_per_sec_p10": float(np.percentile(rates, 10)),
+        "stage3_steps_per_sec_p90": float(np.percentile(rates, 90)),
+        "batch": B,
+    }
+    peak, kind = _peak_flops()
+    if flops is not None:
+        out["flops_per_step"] = flops
+        if peak:
+            out["mfu_vs_bf16_peak"] = float(
+                flops * out["stage3_steps_per_sec_p50"] / peak
+            )
+    return out
+
+
 def bench_vq_sweep(sizes=(32, 128, 512, 2048), D=128, M=3456, iters=1000):
     """XLA vs Pallas fused VQ assignment/stats at the published latent dim
     (M defaults to B=32 x HF tokens 108; VERDICT r1 weak #6)."""
@@ -258,9 +388,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vq-sweep", action="store_true")
     ap.add_argument("--train-loop", action="store_true")
-    ap.add_argument("--bf16", action="store_true",
-                    help="bfloat16 conv-stack compute (measurement mode; "
-                         "the driver line stays fp32 unless passed)")
+    ap.add_argument("--stage2", action="store_true",
+                    help="measure the stage-2 prior training step")
+    ap.add_argument("--stage3", action="store_true",
+                    help="measure the stage-3 fidelity-enhancer training step")
+    ap.add_argument("--fp32", action="store_true",
+                    help="full-fp32 conv stacks (default is bfloat16 "
+                         "compute, the quality-validated production mode)")
     args = ap.parse_args()
 
     from tvqvae_tpu.config import Config
@@ -274,8 +408,14 @@ def main():
     if args.train_loop:
         print(json.dumps(bench_train_loop(cfg)))
         return
+    if args.stage2:
+        print(json.dumps(bench_stage2(cfg)))
+        return
+    if args.stage3:
+        print(json.dumps(bench_stage3(cfg)))
+        return
 
-    dtype = "bfloat16" if args.bf16 else "float32"
+    dtype = "float32" if args.fp32 else "bfloat16"
     s1, spec, state = bench_stage1(cfg, compute_dtype=dtype)
     gen = bench_generation(cfg, spec, state)
 
@@ -304,10 +444,14 @@ def main():
     if "mfu_vs_bf16_peak" in s1:
         extra["mfu_vs_bf16_peak"] = round(s1["mfu_vs_bf16_peak"], 4)
         extra["flops_per_step"] = s1["flops_per_step"]
+    extra["compute_dtype"] = dtype
     print(json.dumps({
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),
-        "unit": "steps/s (B=32, C=4, L=4633, published config, 1 chip, p50)",
+        "unit": (
+            f"steps/s (B=32, C=4, L=4633, published config, {dtype} "
+            "conv stacks, 1 chip, p50)"
+        ),
         "vs_baseline": round(sps / BASELINE_STAGE1_STEPS_PER_SEC, 3),
         "extra": extra,
     }))

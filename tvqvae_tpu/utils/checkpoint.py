@@ -20,16 +20,24 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _process_index() -> int:
+    return jax.process_index()
+
+
+def _process_count() -> int:
+    return jax.process_count()
+
+
 def _primary_host() -> bool:
     """True when this process should write checkpoints. All saved trees are
     fully replicated (params/codebooks/opt state), so under multi-host SPMD
     only process 0 writes; the others barrier so nobody races ahead with a
     half-written file on shared storage."""
-    return jax.process_count() == 1 or jax.process_index() == 0
+    return _process_count() == 1 or _process_index() == 0
 
 
 def _multihost_barrier(tag: str) -> None:
-    if jax.process_count() > 1:
+    if _process_count() > 1:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(tag)
