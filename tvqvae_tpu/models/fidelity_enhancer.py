@@ -77,7 +77,8 @@ class UnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = WSConv1d(self.features)(x)
-        x = nn.GroupNorm(num_groups=self.groups)(x)
+        # epsilon 1e-5 matches torch nn.GroupNorm (flax default is 1e-6)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
         x = Snake(self.features)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
