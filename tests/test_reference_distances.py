@@ -31,9 +31,12 @@ REF_DIST_DIR = (
     "/root/reference/timevqvae/evaluation/flyability_utils/trajectory_distances"
 )
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_DIST_DIR), reason="reference snapshot not present"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REF_DIST_DIR), reason="reference snapshot not present"
+    ),
+]
 
 
 @pytest.fixture(scope="module")

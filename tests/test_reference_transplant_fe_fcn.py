@@ -26,6 +26,8 @@ import pytest
 TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 sys.path.insert(0, os.path.abspath(TOOLS))
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import refshim  # noqa: E402

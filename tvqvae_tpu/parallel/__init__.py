@@ -1,4 +1,5 @@
 from .mesh import (
+    bundle_sharding,
     data_sharding,
     make_mesh,
     make_process_global_batch,
@@ -8,6 +9,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "bundle_sharding",
     "data_sharding",
     "make_mesh",
     "make_process_global_batch",

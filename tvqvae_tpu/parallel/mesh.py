@@ -26,6 +26,12 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def bundle_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for stacked step-bundles (n_steps, B, ...): replicate the
+    scan axis, shard the batch axis (axis 1) over `data`."""
+    return NamedSharding(mesh, P(None, "data", *([None] * (ndim - 2))))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a pytree of host arrays with batch-axis sharding.
 
@@ -66,7 +72,7 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def prefetch_batches(iterator, mesh: Mesh, size: int = 2):
+def prefetch_batches(iterator, mesh: Mesh, size: int = 2, bundled: bool = False):
     """Pipeline host batches onto the mesh from a background thread.
 
     Two overlaps: (1) jax transfers are async, so `size` batches stay in
@@ -84,12 +90,14 @@ def prefetch_batches(iterator, mesh: Mesh, size: int = 2):
 
     multiproc = jax.process_count() > 1
 
+    shard_fn = bundle_sharding if bundled else data_sharding
+
     def put(item):
         if multiproc:
             return make_process_global_batch(mesh, item)
         return jax.tree.map(
             lambda v: v if v is None else jax.device_put(
-                jnp.asarray(v), data_sharding(mesh, np.ndim(v))
+                jnp.asarray(v), shard_fn(mesh, np.ndim(v))
             ),
             item,
             is_leaf=lambda v: v is None,

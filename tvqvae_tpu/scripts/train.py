@@ -34,6 +34,10 @@ def build_argparser():
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute in the stage-1 conv stacks "
                         "(params/BN stats/VQ/losses stay fp32)")
+    p.add_argument("--bundle_steps", type=int, default=1,
+                   help="stage-1: optimizer steps per jitted lax.scan "
+                        "bundle (1 = classic per-step dispatch; >1 hides "
+                        "host round-trip latency)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas VQ kernel in stage 1")
     p.add_argument("--no_val_metrics", action="store_true",
@@ -99,6 +103,7 @@ def main(argv=None):
                     cfg, data, paths["1"], log, max_steps=args.max_steps,
                     use_pallas=args.use_pallas, seed=args.seed,
                     compute_dtype="bfloat16" if args.bf16 else "float32",
+                    bundle_steps=args.bundle_steps,
                 )
             elif stage == "2":
                 runner.train_stage2(

@@ -127,21 +127,32 @@ def _loop(
     log_interval: int = 100,
     start_step: int = 0,
     snapshot=None,
+    stride: int = 1,
 ):
+    """`stride` > 1: each train_once advances `stride` optimizer steps (a
+    bundled lax.scan program); `step` stays in true-step units and the
+    log/val cadences fire when their boundary is crossed within a bundle."""
     from tvqvae_tpu.utils.profiling import StepTimer
 
     timer = StepTimer()
     t0 = time.time()
-    for step in range(start_step + 1, max_steps + 1):
+    if stride > 1 and (max_steps - start_step) % stride:
+        trimmed = (max_steps - start_step) // stride * stride
+        print(
+            f"[{name}] bundle stride {stride} trims max_steps to "
+            f"{start_step + trimmed} (from {max_steps})"
+        )
+        max_steps = start_step + trimmed
+    for step in range(start_step + stride, max_steps + 1, stride):
         metrics = train_once(step)
-        timer.tick()
-        if logger and (step % log_interval == 0 or step == max_steps):
+        timer.tick(stride)
+        if logger and (step % log_interval < stride or step == max_steps):
             logger.log_metrics(
                 {f"train/{k}": float(v) for k, v in metrics.items()}
                 | timer.summary(),
                 step,
             )
-        if step % max(val_interval, 1) == 0 or step == max_steps:
+        if step % max(val_interval, 1) < stride or step == max_steps:
             val = eval_once(step) if eval_once else {}
             rate = (step - start_step) / (time.time() - t0)
             line = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
@@ -164,6 +175,7 @@ def train_stage1(
     seed: int = 0,
     resume: bool = True,
     compute_dtype: str = "float32",
+    bundle_steps: int = 1,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
@@ -193,15 +205,42 @@ def train_stage1(
         start_step = int(state.step)
         print(f"[stage1] resuming from step {start_step}")
     state = replicate_tree(mesh, state)
-    train_step = jax.jit(make_stage1_train_step(model, tx), donate_argnums=0)
+    # Bundled stepping (bundle_steps > 1): one jitted lax.scan program
+    # advances bundle_steps optimizer steps per host dispatch, hiding
+    # host round-trip latency. Per-step semantics identical (see
+    # make_stage1_train_multistep). Multi-host keeps per-step dispatch
+    # (the per-process bundle assembly isn't wired through
+    # make_process_global_batch). NOTE: benchmark before enabling on a
+    # given backend — see PERF.md "bundled stepping" for this
+    # environment's tunneled-backend caveat.
+    bundle = bundle_steps if jax.process_count() == 1 else 1
+    if bundle > 1:
+        from tvqvae_tpu.train.stage1 import make_stage1_train_multistep
+
+        train_step = jax.jit(
+            make_stage1_train_multistep(model, tx, bundle), donate_argnums=0
+        )
+    else:
+        train_step = jax.jit(
+            make_stage1_train_step(model, tx), donate_argnums=0
+        )
     eval_step = jax.jit(make_stage1_eval_step(model, per_sample=True))
 
     rng = jax.random.key(seed + 1)
-    batches = prefetch_batches(
-        make_batches(data.X_train, None, batch_size, shuffle=True, seed=seed,
-                     repeat=True, **_process_kwargs()),
-        mesh,
+    raw_batches = make_batches(
+        data.X_train, None, batch_size, shuffle=True, seed=seed,
+        repeat=True, **_process_kwargs(),
     )
+    if bundle > 1:
+        def _stacked(it, k):
+            while True:
+                xs = [next(it)[0] for _ in range(k)]
+                yield np.stack(xs), None
+
+        batches = prefetch_batches(_stacked(raw_batches, bundle), mesh,
+                                   bundled=True)
+    else:
+        batches = prefetch_batches(raw_batches, mesh)
     state_box = [state]
 
     def train_once(step):
@@ -243,7 +282,7 @@ def train_stage1(
 
     _loop("stage1", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage1", 5000),
-          start_step=start_step,
+          start_step=start_step, stride=bundle,
           snapshot=lambda step: save_train_state(snap_path, state_box[0]))
 
     state = state_box[0]

@@ -81,6 +81,32 @@ def make_stage1_train_step(
     return step
 
 
+def make_stage1_train_multistep(
+    model: Stage1Model, tx: optax.GradientTransformation, n_steps: int
+) -> Callable:
+    """One jitted program advancing `n_steps` training steps via lax.scan
+    over a stacked batch bundle xs (n_steps, B, C, L): one host dispatch per
+    n_steps batches, which hides host/tunnel round-trip latency (bundled
+    stepping — the idiomatic TPU training-loop shape). Per-step semantics
+    are IDENTICAL to make_stage1_train_step (dropout keys fold in
+    state.step, which the scan advances); metrics are bundle means.
+    Equivalence is pinned by tests/test_multistep.py."""
+    import jax.numpy as jnp
+
+    step = make_stage1_train_step(model, tx)
+
+    def multistep(
+        state: Stage1TrainState, xs: jax.Array, rng: jax.Array
+    ) -> Tuple[Stage1TrainState, Dict[str, jax.Array]]:
+        def body(st, x):
+            return step(st, x, rng)
+
+        state, ms = jax.lax.scan(body, state, xs)
+        return state, jax.tree.map(lambda a: jnp.mean(a, axis=0), ms)
+
+    return multistep
+
+
 def make_stage1_eval_step(model: Stage1Model, per_sample: bool = False) -> Callable:
     """Eval step. Default: batch-mean metrics (reference val loss semantics —
     commit loss is 0 outside training, vq.py:362-366). With per_sample=True,
