@@ -531,14 +531,24 @@ def frechet(p: np.ndarray, q: np.ndarray) -> float:
 # the 14-metric bundle (reference flyability_eval.py:271-351)
 
 
+def _bucket_size(n: int, min_size: int = 32) -> int:
+    """Bucket size for a trajectory of n points: next power of two up to
+    2048, then the next multiple of 512 (power-of-two padding nearly
+    doubles the O(n^2) DP work/memory at real lengths — 4633 -> 8192 —
+    while multiples of 512 keep the compiled-shape count bounded and the
+    padding overhead <= 11%)."""
+    if n <= 2048:
+        return max(min_size, 1 << (n - 1).bit_length())
+    return -(-n // 512) * 512
+
+
 def _bucket_pad(x: np.ndarray, min_size: int = 32) -> np.ndarray:
-    """Pad a (n, 2) trajectory to the next power-of-two bucket by repeating
-    its last point, bounding the number of compiled DP shapes to
-    O(log^2 max_len). Repeated-endpoint padding adds only zero-length
-    segments (exact for SSPD/Hausdorff/Frechet); the DP metrics read their
-    answer at the true corner via the n/m arguments."""
+    """Pad a (n, 2) trajectory to its bucket size by repeating its last
+    point. Repeated-endpoint padding adds only zero-length segments (exact
+    for SSPD/Hausdorff/Frechet); the DP metrics read their answer at the
+    true corner via the n/m arguments."""
     n = x.shape[0]
-    size = max(min_size, 1 << (n - 1).bit_length())
+    size = _bucket_size(n, min_size)
     if size == n:
         return x
     return np.concatenate([x, np.repeat(x[-1:], size - n, axis=0)])
@@ -651,35 +661,56 @@ def calculate_trajectory_distances_batch(
     ]
     out = {k: [None] * len(gens) for k in keys}
 
-    for (P, Q), idxs in buckets.items():
-        p = jnp.asarray(np.stack(
-            [_bucket_pad(np.asarray(gens[i], np.float32)) for i in idxs]
-        ))
-        q = jnp.asarray(np.stack(
-            [_bucket_pad(np.asarray(sims[i], np.float32)) for i in idxs]
-        ))
-        n = jnp.asarray([len(gens[i]) for i in idxs], jnp.int32)
-        m = jnp.asarray([len(sims[i]) for i in idxs], jnp.int32)
+    for (P, Q), all_idxs in buckets.items():
+        # Memory-bounded sub-batches: each vmapped pair holds several
+        # (P, Q) fp32 intermediates (cost matrix, scan inputs, row state),
+        # so cap the vmap width such that ~6 such buffers stay within ~4 GB
+        # of HBM. At L<=2048 buckets this is effectively no chunking; at
+        # L~4633 (bucket 5120) it is ~6 pairs per dispatch (an unchunked
+        # 16-wide vmap at a power-of-two 8192 bucket OOMed 16 GB HBM).
+        per_pair_bytes = 6 * P * Q * 4
+        chunk = max(1, int(4e9 // max(per_pair_bytes, 1)))
+        for s in range(0, len(all_idxs), chunk):
+            idxs = all_idxs[s:s + chunk]
+            # pad the pair axis to the full chunk width by repeating the
+            # first pair, so every sub-batch of a bucket reuses ONE
+            # compiled program per metric (ragged tails would double the
+            # compile count); padded results are simply dropped below
+            width = chunk if len(all_idxs) > chunk else len(idxs)
+            pad_idxs = idxs + [idxs[0]] * (width - len(idxs))
+            p = jnp.asarray(np.stack(
+                [_bucket_pad(np.asarray(gens[i], np.float32))
+                 for i in pad_idxs]
+            ))
+            q = jnp.asarray(np.stack(
+                [_bucket_pad(np.asarray(sims[i], np.float32))
+                 for i in pad_idxs]
+            ))
+            n = jnp.asarray([len(gens[i]) for i in pad_idxs], jnp.int32)
+            m = jnp.asarray([len(sims[i]) for i in pad_idxs], jnp.int32)
 
-        vals = {
-            "SSPD Euclidean": fns[("sspd", "euclidean")](p, q, n, m),
-            "SSPD Spherical": fns[("sspd", "spherical")](p, q, n, m),
-            "DTW Euclidean": fns[("dtw", "euclidean")](p, q, n, m),
-            "DTW Spherical": fns[("dtw", "spherical")](p, q, n, m),
-            "Hausdorff Euclidean": fns[("hausdorff", "euclidean")](p, q, n, m),
-            "Hausdorff Spherical": fns[("hausdorff", "spherical")](p, q, n, m),
-            "LCSS Euclidean": fns[("lcss", "euclidean")](p, q, eps, n, m),
-            "LCSS Spherical": fns[("lcss", "spherical")](p, q, eps * 1e6, n, m),
-            "ERP Euclidean": fns[("erp", "euclidean")](p, q, g, n, m),
-            "ERP Spherical": fns[("erp", "spherical")](p, q, g, n, m),
-            "EDR Euclidean": fns[("edr", "euclidean")](p, q, eps, n, m),
-            "EDR Spherical": fns[("edr", "spherical")](p, q, eps, n, m),
-            "Discrete Frechet": fns["discret_frechet"](p, q, n, m),
-            # repeated-endpoint padding is exact for continuous Frechet
-            "Frechet": fns["frechet"](p, q),
-        }
-        for k in keys:
-            arr = np.asarray(vals[k])
-            for j, i in enumerate(idxs):
-                out[k][i] = float(arr[j])
+            vals = {
+                "SSPD Euclidean": fns[("sspd", "euclidean")](p, q, n, m),
+                "SSPD Spherical": fns[("sspd", "spherical")](p, q, n, m),
+                "DTW Euclidean": fns[("dtw", "euclidean")](p, q, n, m),
+                "DTW Spherical": fns[("dtw", "spherical")](p, q, n, m),
+                "Hausdorff Euclidean":
+                    fns[("hausdorff", "euclidean")](p, q, n, m),
+                "Hausdorff Spherical":
+                    fns[("hausdorff", "spherical")](p, q, n, m),
+                "LCSS Euclidean": fns[("lcss", "euclidean")](p, q, eps, n, m),
+                "LCSS Spherical":
+                    fns[("lcss", "spherical")](p, q, eps * 1e6, n, m),
+                "ERP Euclidean": fns[("erp", "euclidean")](p, q, g, n, m),
+                "ERP Spherical": fns[("erp", "spherical")](p, q, g, n, m),
+                "EDR Euclidean": fns[("edr", "euclidean")](p, q, eps, n, m),
+                "EDR Spherical": fns[("edr", "spherical")](p, q, eps, n, m),
+                "Discrete Frechet": fns["discret_frechet"](p, q, n, m),
+                # repeated-endpoint padding is exact for continuous Frechet
+                "Frechet": fns["frechet"](p, q),
+            }
+            for k in keys:
+                arr = np.asarray(vals[k])
+                for j, i in enumerate(idxs):
+                    out[k][i] = float(arr[j])
     return out
