@@ -21,7 +21,8 @@ Semantics matched to the reference callers (flyability_eval.py:271-351):
     (basic_euclidean.py), "spherical" variants are great-circle METERS with
     R = 6378137 (basic_spherical.py:10),
   - LCSS/EDR epsilon 0.009 (degrees); spherical LCSS uses eps*1e6 meters
-    (flyability_eval.py:304,329),
+    but spherical EDR keeps 0.009 — in METERS, so it saturates at ~1.0 on
+    real trajectories (reference quirk, flyability_eval.py:304-341),
   - ERP gap point = the departure airport (lat, lon) (:336),
   - traj-dist border quirks preserved: ERP borders are the constant FULL
     gap sums (erp.py:40-41), EDR/LCSS borders are zeros (edr.py:33,
