@@ -76,12 +76,15 @@ def prefetch_batches(iterator, mesh: Mesh, size: int = 2, bundled: bool = False)
     """Pipeline host batches onto the mesh from a background thread.
 
     Two overlaps: (1) jax transfers are async, so `size` batches stay in
-    flight ahead of the consumer (host->device copy measured ~3 ms for a
-    stage-1 batch through the tunnel); (2) a daemon thread advances the host
+    flight ahead of the consumer; (2) a daemon thread advances the host
     iterator (numpy batch assembly + device_put enqueue), so host input work
     runs concurrently with the previous step's device compute instead of
     serializing inside next() — on a slow host this is the difference
-    between input-bound and device-bound stepping.
+    between input-bound and device-bound stepping. NOTE: on this
+    environment's relayed backend the host->device data path itself is the
+    bottleneck (~1 MB/s effective — a tunnel artifact; real TPU-VM hosts
+    feed via local DMA), so drain-verified train-LOOP rates here reflect
+    the relay, not the framework (PERF.md).
     """
     import queue
     import threading
