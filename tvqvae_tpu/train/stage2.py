@@ -62,6 +62,59 @@ def create_stage2_state(
     )
 
 
+def _tokens_update(
+    state: Stage2TrainState,
+    s_l: jax.Array,
+    s_h: jax.Array,
+    y: Optional[jax.Array],
+    rng: jax.Array,
+    t_l: BidirectionalTransformer,
+    t_h: BidirectionalTransformer,
+    spec: MaskGITSpec,
+    tx: optax.GradientTransformation,
+) -> Tuple[Stage2TrainState, Dict[str, jax.Array]]:
+    """Shared mask+CE+update body given token grids. `rng` is the already
+    step-folded key; the 4-way split order is the contract both the
+    on-the-fly and precomputed-token steps rely on for exact equivalence
+    (pinned by tests/test_precompute.py)."""
+    r_mask_l, r_mask_h, r_drop_l, r_drop_h = jax.random.split(rng, 4)
+
+    s_l_M, keep_l = random_mask_tokens(r_mask_l, s_l, spec.mask_token_l)
+    s_h_M, keep_h = random_mask_tokens(r_mask_h, s_h, spec.mask_token_h)
+
+    def loss_fn(params):
+        logits_l = t_l.apply(
+            {"params": params["l"]}, s_l_M, None, y, True,
+            rngs={"dropout": r_drop_l},
+        )
+        logits_h, mut = t_h.apply(
+            {"params": params["h"], "batch_stats": state.h_stats},
+            s_l_M, s_h_M, y, True,
+            rngs={"dropout": r_drop_h},
+            mutable=["batch_stats"],
+        )
+        ce_l = masked_ce(logits_l, s_l, keep_l)
+        ce_h = masked_ce(logits_h, s_h, keep_h)
+        return ce_l + ce_h, (ce_l, ce_h, mut)
+
+    grads, (ce_l, ce_h, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = Stage2TrainState(
+        params=params,
+        h_stats=mut.get("batch_stats", state.h_stats),
+        opt_state=opt_state,
+        step=state.step + 1,
+    )
+    metrics = {
+        "loss": ce_l + ce_h,
+        "mask_pred_loss": ce_l + ce_h,
+        "mask_pred_loss_l": ce_l,
+        "mask_pred_loss_h": ce_h,
+    }
+    return new_state, metrics
+
+
 def make_stage2_train_step(
     stage1_model: Stage1Model,
     t_l: BidirectionalTransformer,
@@ -69,7 +122,9 @@ def make_stage2_train_step(
     spec: MaskGITSpec,
     tx: optax.GradientTransformation,
 ) -> Callable:
-    """step(state, frozen, x, y, rng) -> (state, metrics)."""
+    """step(state, frozen, x, y, rng) -> (state, metrics) — on-the-fly path:
+    runs the frozen stage-1 encoders inside the step (reference
+    trainers/stage2.py:49-68 semantics)."""
 
     def step(
         state: Stage2TrainState,
@@ -79,47 +134,94 @@ def make_stage2_train_step(
         rng: jax.Array,
     ) -> Tuple[Stage2TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)
-        r_mask_l, r_mask_h, r_drop_l, r_drop_h = jax.random.split(rng, 4)
-
         s_l = encode_tokens(stage1_model, frozen, x, "lf")
         s_h = encode_tokens(stage1_model, frozen, x, "hf")
-
-        s_l_M, keep_l = random_mask_tokens(r_mask_l, s_l, spec.mask_token_l)
-        s_h_M, keep_h = random_mask_tokens(r_mask_h, s_h, spec.mask_token_h)
-
-        def loss_fn(params):
-            logits_l = t_l.apply(
-                {"params": params["l"]}, s_l_M, None, y, True,
-                rngs={"dropout": r_drop_l},
-            )
-            logits_h, mut = t_h.apply(
-                {"params": params["h"], "batch_stats": state.h_stats},
-                s_l_M, s_h_M, y, True,
-                rngs={"dropout": r_drop_h},
-                mutable=["batch_stats"],
-            )
-            ce_l = masked_ce(logits_l, s_l, keep_l)
-            ce_h = masked_ce(logits_h, s_h, keep_h)
-            return ce_l + ce_h, (ce_l, ce_h, mut)
-
-        grads, (ce_l, ce_h, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = Stage2TrainState(
-            params=params,
-            h_stats=mut.get("batch_stats", state.h_stats),
-            opt_state=opt_state,
-            step=state.step + 1,
-        )
-        metrics = {
-            "loss": ce_l + ce_h,
-            "mask_pred_loss": ce_l + ce_h,
-            "mask_pred_loss_l": ce_l,
-            "mask_pred_loss_h": ce_h,
-        }
-        return new_state, metrics
+        return _tokens_update(state, s_l, s_h, y, rng, t_l, t_h, spec, tx)
 
     return step
+
+
+def make_stage2_train_step_tokens(
+    t_l: BidirectionalTransformer,
+    t_h: BidirectionalTransformer,
+    spec: MaskGITSpec,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """step(state, s_l, s_h, y, rng) -> (state, metrics) — PRECOMPUTED-token
+    path (TPU-first redesign of reference maskgit.py:167-168, which re-runs
+    both frozen conv encoders on every one of 200k steps even though the
+    encode is fully deterministic per sample: eval-mode BN + argmax VQ).
+    One eval sweep (`precompute_token_dataset`) turns the train set into
+    (N, tokens_l)/(N, tokens_h) int arrays and the step becomes pure
+    transformer compute over the 27/108-token grids. Given identical tokens
+    + rng, losses/updates are IDENTICAL to the on-the-fly step (same
+    fold_in + split order; tests/test_precompute.py)."""
+
+    def step(
+        state: Stage2TrainState,
+        s_l: jax.Array,
+        s_h: jax.Array,
+        y: Optional[jax.Array],
+        rng: jax.Array,
+    ) -> Tuple[Stage2TrainState, Dict[str, jax.Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+        return _tokens_update(state, s_l, s_h, y, rng, t_l, t_h, spec, tx)
+
+    return step
+
+
+def make_token_encode_fn(stage1_model: Stage1Model) -> Callable:
+    """Jitted eval-mode encoder (frozen, x) -> (s_l, s_h) — deterministic
+    (frozen BN stats, argmax VQ; reference maskgit.py:117-134)."""
+
+    def enc(frozen: FrozenStage1, x: jax.Array):
+        s_l = encode_tokens(stage1_model, frozen, x, "lf")
+        s_h = encode_tokens(stage1_model, frozen, x, "hf")
+        return s_l, s_h
+
+    return jax.jit(enc)
+
+
+def precompute_token_dataset(
+    stage1_model: Stage1Model,
+    frozen: FrozenStage1,
+    X,
+    batch_size: int = 64,
+    mesh=None,
+):
+    """One eval-mode sweep over X -> (tokens_l, tokens_h) numpy int32 arrays.
+
+    Wrap-pads the tail to the fixed batch shape (one compiled program) and
+    drops the pad rows, mirroring runner.eval_once's batching."""
+    import numpy as np
+
+    enc = make_token_encode_fn(stage1_model)
+    # X may already be a device-resident jax.Array (runner's HBM-cached
+    # train split) — then the per-batch slice is a device gather, not a
+    # host->device transfer.
+    if not isinstance(X, jax.Array):
+        X = np.asarray(X)
+    N = X.shape[0]
+    bs = min(batch_size, N)
+    if mesh is not None:
+        m = mesh.devices.size
+        bs = -(-bs // m) * m
+    out_l, out_h = [], []
+    for s in range(0, N, bs):
+        idx = np.arange(s, s + bs) % N
+        xb = X[idx] if isinstance(X, jax.Array) else jnp.asarray(X[idx])
+        if mesh is not None:
+            from tvqvae_tpu.parallel.mesh import shard_batch
+
+            xb = shard_batch(mesh, xb)
+        s_l, s_h = enc(frozen, xb)
+        real = min(bs, N - s)
+        out_l.append(np.asarray(s_l[:real]))
+        out_h.append(np.asarray(s_h[:real]))
+    return (
+        np.concatenate(out_l).astype(np.int32),
+        np.concatenate(out_h).astype(np.int32),
+    )
 
 
 def make_sampling_fn(

@@ -70,6 +70,47 @@ def svq_roundtrip(
     return jax.lax.stop_gradient(x_l + x_h)
 
 
+def _fe_update(
+    state: Stage3TrainState,
+    x: jax.Array,
+    xprime: jax.Array,
+    r_drop: jax.Array,
+    fe: FidelityEnhancer,
+    tx: optax.GradientTransformation,
+    percept_loss_weight: float,
+    percept_fn: Optional[Callable],
+) -> Tuple[Stage3TrainState, Dict[str, jax.Array]]:
+    """Shared FE L1(+percept) update given the degraded input x'. Both the
+    on-the-fly and precomputed paths route here; the RNG split order in the
+    callers is the equivalence contract (tests/test_precompute.py)."""
+
+    def loss_fn(params):
+        xhat = fe.apply(
+            {"params": params}, xprime, True, rngs={"dropout": r_drop}
+        )
+        recons = jnp.mean(jnp.abs(xhat - x))
+        percept = jnp.float32(0.0)
+        if percept_loss_weight > 0.0 and percept_fn is not None:
+            za = percept_fn(xhat)
+            zb = percept_fn(x)
+            percept = percept_loss_weight * jnp.mean((za - zb) ** 2)
+        return recons + percept, (recons, percept)
+
+    grads, (recons, percept) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = Stage3TrainState(
+        params=params, opt_state=opt_state, step=state.step + 1,
+        tau=state.tau,
+    )
+    metrics = {
+        "loss": recons + percept,
+        "fidelity_enhancer_loss": recons,
+        "percept_loss": percept,
+    }
+    return new_state, metrics
+
+
 def make_stage3_train_step(
     stage1_model: Stage1Model,
     fe: FidelityEnhancer,
@@ -78,7 +119,9 @@ def make_stage3_train_step(
     percept_loss_weight: float = 0.0,
     percept_fn: Optional[Callable] = None,
 ) -> Callable:
-    """step(state, frozen, x, rng) -> (state, metrics)."""
+    """step(state, frozen, x, rng) -> (state, metrics) — on-the-fly path:
+    runs the frozen SVQ roundtrip inside the step (needed whenever tau > 0,
+    where x' is stochastic per step)."""
 
     def step(
         state: Stage3TrainState,
@@ -88,33 +131,88 @@ def make_stage3_train_step(
     ) -> Tuple[Stage3TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)
         r_svq, r_drop = jax.random.split(rng)
-
         xprime = svq_roundtrip(stage1_model, frozen, x, tau, r_svq)
-
-        def loss_fn(params):
-            xhat = fe.apply(
-                {"params": params}, xprime, True, rngs={"dropout": r_drop}
-            )
-            recons = jnp.mean(jnp.abs(xhat - x))
-            percept = jnp.float32(0.0)
-            if percept_loss_weight > 0.0 and percept_fn is not None:
-                za = percept_fn(xhat)
-                zb = percept_fn(x)
-                percept = percept_loss_weight * jnp.mean((za - zb) ** 2)
-            return recons + percept, (recons, percept)
-
-        grads, (recons, percept) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = Stage3TrainState(
-            params=params, opt_state=opt_state, step=state.step + 1,
-            tau=state.tau,
+        return _fe_update(
+            state, x, xprime, r_drop, fe, tx, percept_loss_weight, percept_fn
         )
-        metrics = {
-            "loss": recons + percept,
-            "fidelity_enhancer_loss": recons,
-            "percept_loss": percept,
-        }
-        return new_state, metrics
 
     return step
+
+
+def make_stage3_train_step_pre(
+    fe: FidelityEnhancer,
+    tx: optax.GradientTransformation,
+    percept_loss_weight: float = 0.0,
+    percept_fn: Optional[Callable] = None,
+) -> Callable:
+    """step(state, x, xprime, rng) -> (state, metrics) — PRECOMPUTED-x' path
+    (TPU-first redesign of reference stage3.py:205-210, which re-runs the
+    frozen SVQ roundtrip every step even though at tau=0 it is argmax VQ +
+    eval-mode BN — deterministic per sample). Valid only for tau == 0; the
+    runner keeps the on-the-fly step for tau > 0 / --search_tau. Given
+    identical x'/rng the update is IDENTICAL to the on-the-fly step (the
+    unused r_svq is still split off to preserve r_drop)."""
+
+    def step(
+        state: Stage3TrainState,
+        x: jax.Array,
+        xprime: jax.Array,
+        rng: jax.Array,
+    ) -> Tuple[Stage3TrainState, Dict[str, jax.Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+        _r_svq, r_drop = jax.random.split(rng)
+        return _fe_update(
+            state, x, xprime, r_drop, fe, tx, percept_loss_weight, percept_fn
+        )
+
+    return step
+
+
+def make_xprime_fn(stage1_model: Stage1Model) -> Callable:
+    """Jitted deterministic tau=0 roundtrip (frozen, x) -> x'."""
+
+    def f(frozen: FrozenStage1, x: jax.Array) -> jax.Array:
+        return svq_roundtrip(stage1_model, frozen, x, 0.0, None)
+
+    return jax.jit(f)
+
+
+def precompute_xprime_dataset(
+    stage1_model: Stage1Model,
+    frozen: FrozenStage1,
+    X,
+    batch_size: int = 32,
+    mesh=None,
+    keep_on_device: bool = False,
+):
+    """One tau=0 SVQ-roundtrip sweep over X -> x' float32 array
+    (wrap-padded fixed-shape batches, pad rows dropped).
+
+    With keep_on_device the result stays a jax.Array in HBM (never
+    round-trips to the host) — pair with a device-resident X so the whole
+    precompute is chip-local."""
+    import numpy as np
+
+    f = make_xprime_fn(stage1_model)
+    if not isinstance(X, jax.Array):
+        X = np.asarray(X)
+    N = X.shape[0]
+    bs = min(batch_size, N)
+    if mesh is not None:
+        m = mesh.devices.size
+        bs = -(-bs // m) * m
+    out = []
+    for s in range(0, N, bs):
+        idx = np.arange(s, s + bs) % N
+        xb = X[idx] if isinstance(X, jax.Array) else jnp.asarray(X[idx])
+        if mesh is not None:
+            from tvqvae_tpu.parallel.mesh import shard_batch
+
+            xb = shard_batch(mesh, xb)
+        xp = f(frozen, xb)
+        real = min(bs, N - s)
+        if keep_on_device:
+            out.append(xp[:real].astype(jnp.float32))
+        else:
+            out.append(np.asarray(xp[:real], dtype=np.float32))
+    return jnp.concatenate(out) if keep_on_device else np.concatenate(out)
