@@ -92,6 +92,14 @@ def prefetch_batches(iterator, mesh: Mesh, size: int = 2, bundled: bool = False)
     import jax.numpy as jnp
 
     multiproc = jax.process_count() > 1
+    # Bundled (n_steps, B, ...) stacks are unsupported multi-host:
+    # make_process_global_batch shards axis 0, which for a bundle is the
+    # scan axis, not the batch axis — fail loudly instead of mis-sharding.
+    assert not (bundled and multiproc), (
+        "prefetch_batches(bundled=True) is not supported with "
+        "jax.process_count() > 1 (axis-0 sharding would split the scan "
+        "axis); use bundle_steps=1 on multi-host."
+    )
 
     shard_fn = bundle_sharding if bundled else data_sharding
 

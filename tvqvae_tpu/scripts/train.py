@@ -43,6 +43,13 @@ def build_argparser():
     p.add_argument("--no_val_metrics", action="store_true",
                    help="skip validation-time sampling metrics "
                         "(running_metrics/FID etc.) in stages 2/3")
+    p.add_argument("--no_precompute", action="store_true",
+                   help="stages 2/3: recompute frozen-stage outputs inside "
+                        "every step (reference behavior) instead of the "
+                        "default one-sweep precompute")
+    p.add_argument("--host_data", action="store_true",
+                   help="feed batches from the host per step instead of "
+                        "the default device-resident gather")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -104,12 +111,14 @@ def main(argv=None):
                     use_pallas=args.use_pallas, seed=args.seed,
                     compute_dtype="bfloat16" if args.bf16 else "float32",
                     bundle_steps=args.bundle_steps,
+                    data_on_device=not args.host_data,
                 )
             elif stage == "2":
                 runner.train_stage2(
                     cfg, data, paths["1"], paths["2"], log,
                     max_steps=args.max_steps, seed=args.seed,
                     metrics=val_metrics,
+                    precompute=not args.no_precompute,
                 )
             elif stage == "3":
                 tau = 0.0
@@ -139,6 +148,7 @@ def main(argv=None):
                     stage2_ckpt=paths["2"] if os.path.exists(paths["2"])
                     else None,
                     metrics=val_metrics,
+                    precompute=not args.no_precompute,
                 )
             elif stage == "fcn":
                 runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)

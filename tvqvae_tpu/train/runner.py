@@ -114,6 +114,97 @@ def _process_kwargs() -> dict:
 
 
 # --------------------------------------------------------------------------
+# device-resident training data
+#
+# TPU-first input path: the full train split lives in HBM (uploaded ONCE)
+# and each training step derives its batch indices ON DEVICE from
+# state.step (epoch permutation via jax.random.permutation + dynamic_slice)
+# and gathers the batch from HBM — a steady-state step consumes ZERO
+# per-step host->device traffic. This matters doubly here: (a) on any host,
+# the input pipeline disappears from the critical path; (b) this
+# environment's relayed backend has ~0.5-1.5 s latency per host->device
+# transfer of ANY size (measured 2026-08-17: 1 MB device_put = 1.44 s, bulk
+# rate ~27 MB/s at 128 MB), so even per-step index uploads would dominate.
+# The gather is sharding-constrained to the data axis, so SPMD semantics
+# are unchanged. Shuffle semantics match make_batches (fresh uniform
+# permutation per epoch, remainder dropped); only the RNG stream differs
+# (device threefry vs numpy), which is a documented non-semantic deviation.
+
+
+_DEVICE_DATA_CACHE: dict = {}
+
+
+def device_train_array(X: np.ndarray) -> jax.Array:
+    """Upload X once per process and memoize (keyed by the array object so
+    stage chaining in one process reuses the same HBM buffer)."""
+    key = id(X)
+    ent = _DEVICE_DATA_CACHE.get(key)
+    if ent is None or ent[0] is not X:
+        ent = (X, jnp.asarray(X))
+        _DEVICE_DATA_CACHE[key] = ent
+    return ent[1]
+
+
+def _use_device_data(data_on_device: bool, X: np.ndarray,
+                     max_bytes: int = 4 << 30) -> bool:
+    return (
+        data_on_device
+        and jax.process_count() == 1
+        and X.nbytes <= max_bytes
+    )
+
+
+def device_epoch_indices(data_key, step, N: int, batch_size: int):
+    """On-device epoch-permutation batch indices for a (traced) step scalar:
+    fresh permutation of [0, N) each epoch, contiguous batch_size slice per
+    step, remainder dropped — make_batches(shuffle=True) semantics."""
+    spe = max(N // batch_size, 1)
+    epoch = step // spe
+    perm = jax.random.permutation(jax.random.fold_in(data_key, epoch), N)
+    i = (step % spe) * batch_size
+    return jax.lax.dynamic_slice(perm, (i,), (batch_size,))
+
+
+def make_device_data_step(step_fn, mesh, N: int, batch_size: int):
+    """Wrap step_fn(state, *batch_arrays, rng) as
+    g(state, arrays_tuple, data_key, rng): batch indices derive on device
+    from state.step; each array in the tuple is gathered with the same
+    indices and constrained to batch sharding (arrays replicated in HBM)."""
+    from tvqvae_tpu.parallel.mesh import data_sharding
+
+    def g(state, arrays, data_key, rng):
+        idx = device_epoch_indices(data_key, state.step, N, batch_size)
+        xs = []
+        for a in arrays:
+            x = jnp.take(a, idx, axis=0)
+            xs.append(jax.lax.with_sharding_constraint(
+                x, data_sharding(mesh, x.ndim)
+            ))
+        return step_fn(state, *xs, rng)
+
+    return g
+
+
+def make_multistep(device_step, n_steps: int):
+    """Scan `device_step(state, arrays, data_key, rng)` n_steps times as ONE
+    jitted program. Because batches derive on device from state.step, the
+    bundle needs no stacked inputs and the host interacts once per n_steps
+    optimizer steps — per-step dispatch latency vanishes (decisive for
+    small steps like the precomputed-token stage-2). Metrics are bundle
+    means; per-step semantics identical (the scan advances state.step)."""
+
+    def bundled(state, arrays, data_key, rng):
+        def body(st, _):
+            st, m = device_step(st, arrays, data_key, rng)
+            return st, m
+
+        state, ms = jax.lax.scan(body, state, None, length=n_steps)
+        return state, jax.tree.map(lambda a: jnp.mean(a, axis=0), ms)
+
+    return bundled
+
+
+# --------------------------------------------------------------------------
 # stage loops
 
 
@@ -128,31 +219,36 @@ def _loop(
     start_step: int = 0,
     snapshot=None,
     stride: int = 1,
+    train_tail=None,
 ):
     """`stride` > 1: each train_once advances `stride` optimizer steps (a
     bundled lax.scan program); `step` stays in true-step units and the
-    log/val cadences fire when their boundary is crossed within a bundle."""
+    log/val cadences fire when their boundary is crossed within a bundle.
+    A remainder that doesn't fill a bundle runs through `train_tail`
+    (single-step) so the loop hits max_steps exactly; without train_tail
+    the remainder is trimmed (with a notice)."""
     from tvqvae_tpu.utils.profiling import StepTimer
 
     timer = StepTimer()
     t0 = time.time()
-    if stride > 1 and (max_steps - start_step) % stride:
-        trimmed = (max_steps - start_step) // stride * stride
+    tail = (max_steps - start_step) % stride if stride > 1 else 0
+    if tail and train_tail is None:
         print(
             f"[{name}] bundle stride {stride} trims max_steps to "
-            f"{start_step + trimmed} (from {max_steps})"
+            f"{max_steps - tail} (from {max_steps})"
         )
-        max_steps = start_step + trimmed
-    for step in range(start_step + stride, max_steps + 1, stride):
-        metrics = train_once(step)
-        timer.tick(stride)
-        if logger and (step % log_interval < stride or step == max_steps):
+        max_steps -= tail
+        tail = 0
+
+    def emit(step, metrics, width):
+        timer.tick(width)
+        if logger and (step % log_interval < width or step == max_steps):
             logger.log_metrics(
                 {f"train/{k}": float(v) for k, v in metrics.items()}
                 | timer.summary(),
                 step,
             )
-        if step % max(val_interval, 1) < stride or step == max_steps:
+        if step % max(val_interval, 1) < width or step == max_steps:
             val = eval_once(step) if eval_once else {}
             rate = (step - start_step) / (time.time() - t0)
             line = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
@@ -163,6 +259,11 @@ def _loop(
                 )
             if snapshot is not None:
                 snapshot(step)
+
+    for step in range(start_step + stride, max_steps - tail + 1, stride):
+        emit(step, train_once(step), stride)
+    for step in range(max_steps - tail + 1, max_steps + 1):
+        emit(step, train_tail(step), 1)
 
 
 def train_stage1(
@@ -176,6 +277,7 @@ def train_stage1(
     resume: bool = True,
     compute_dtype: str = "float32",
     bundle_steps: int = 1,
+    data_on_device: bool = True,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
@@ -214,39 +316,75 @@ def train_stage1(
     # given backend — see PERF.md "bundled stepping" for this
     # environment's tunneled-backend caveat.
     bundle = bundle_steps if jax.process_count() == 1 else 1
-    if bundle > 1:
-        from tvqvae_tpu.train.stage1 import make_stage1_train_multistep
-
-        train_step = jax.jit(
-            make_stage1_train_multistep(model, tx, bundle), donate_argnums=0
-        )
-    else:
-        train_step = jax.jit(
-            make_stage1_train_step(model, tx), donate_argnums=0
-        )
-    eval_step = jax.jit(make_stage1_eval_step(model, per_sample=True))
-
+    use_dev_data = _use_device_data(data_on_device, data.X_train) and bundle == 1
     rng = jax.random.key(seed + 1)
-    raw_batches = make_batches(
-        data.X_train, None, batch_size, shuffle=True, seed=seed,
-        repeat=True, **_process_kwargs(),
-    )
-    if bundle > 1:
-        def _stacked(it, k):
-            while True:
-                xs = [next(it)[0] for _ in range(k)]
-                yield np.stack(xs), None
-
-        batches = prefetch_batches(_stacked(raw_batches, bundle), mesh,
-                                   bundled=True)
-    else:
-        batches = prefetch_batches(raw_batches, mesh)
     state_box = [state]
+    if use_dev_data:
+        # batches gathered in HBM from the once-uploaded train split;
+        # indices derive on device from state.step (zero per-step traffic)
+        X_dev = device_train_array(data.X_train)
+        data_key = jax.random.key(seed + 2)
+        gstep = jax.jit(
+            make_device_data_step(
+                make_stage1_train_step(model, tx), mesh,
+                len(data.X_train), batch_size,
+            ),
+            donate_argnums=0,
+        )
 
-    def train_once(step):
-        xb, _ = next(batches)
-        state_box[0], metrics = train_step(state_box[0], xb, rng)
-        return metrics
+        def train_once(step):
+            state_box[0], metrics = gstep(
+                state_box[0], (X_dev,), data_key, rng
+            )
+            return metrics
+    else:
+        if bundle > 1:
+            from tvqvae_tpu.train.stage1 import make_stage1_train_multistep
+
+            train_step = jax.jit(
+                make_stage1_train_multistep(model, tx, bundle),
+                donate_argnums=0,
+            )
+        else:
+            train_step = jax.jit(
+                make_stage1_train_step(model, tx), donate_argnums=0
+            )
+        raw_batches = make_batches(
+            data.X_train, None, batch_size, shuffle=True, seed=seed,
+            repeat=True, **_process_kwargs(),
+        )
+        if bundle > 1:
+            def _stacked(it, k):
+                while True:
+                    xs = [next(it)[0] for _ in range(k)]
+                    yield np.stack(xs), None
+
+            batches = prefetch_batches(_stacked(raw_batches, bundle), mesh,
+                                       bundled=True)
+        else:
+            batches = prefetch_batches(raw_batches, mesh)
+
+        def train_once(step):
+            xb, _ = next(batches)
+            state_box[0], metrics = train_step(state_box[0], xb, rng)
+            return metrics
+
+    eval_fn_raw = make_stage1_eval_step(model, per_sample=True)
+    if use_dev_data:
+        from tvqvae_tpu.parallel.mesh import data_sharding
+
+        Xe_dev = device_train_array(data.X_test)
+
+        def _eval_gather(state, X_full, idx):
+            xe = jnp.take(X_full, idx, axis=0)
+            xe = jax.lax.with_sharding_constraint(
+                xe, data_sharding(mesh, xe.ndim)
+            )
+            return eval_fn_raw(state, xe)
+
+        eval_gather = jax.jit(_eval_gather)
+    else:
+        eval_step = jax.jit(eval_fn_raw)
 
     def eval_once(step):
         """Validate over the FULL test split in fixed-shape batches (one
@@ -261,8 +399,13 @@ def train_stage1(
         for s in range(0, N, bs):
             idx = np.arange(s, s + bs) % N
             real = min(bs, N - s)
-            xe = shard_batch(mesh, jnp.asarray(data.X_test[idx]))
-            per, scalars, _ = eval_step(state_box[0], xe)
+            if use_dev_data:
+                per, scalars, _ = eval_gather(
+                    state_box[0], Xe_dev, jnp.asarray(idx.astype(np.int32))
+                )
+            else:
+                xe = shard_batch(mesh, jnp.asarray(data.X_test[idx]))
+                per, scalars, _ = eval_step(state_box[0], xe)
             for k, v in per.items():
                 sums[k] = sums.get(k, 0.0) + float(jnp.sum(v[:real]))
             for k, v in scalars.items():
@@ -280,9 +423,29 @@ def train_stage1(
 
     from tvqvae_tpu.utils.checkpoint import save_train_state
 
+    # Bundling must not drop configured steps: a remainder that doesn't fill
+    # a bundle runs through a single-step tail program so the loop hits
+    # max_steps exactly (also covers resume with < bundle steps left,
+    # which previously trained 0 steps).
+    train_tail = None
+    if bundle > 1 and (max_steps - start_step) % bundle:
+        single_step = jax.jit(
+            make_stage1_train_step(model, tx), donate_argnums=0
+        )
+        tail_batches = prefetch_batches(
+            make_batches(data.X_train, None, batch_size, shuffle=True,
+                         seed=seed + 7, repeat=True, **_process_kwargs()),
+            mesh,
+        )
+
+        def train_tail(step):
+            xb, _ = next(tail_batches)
+            state_box[0], m = single_step(state_box[0], xb, rng)
+            return m
+
     _loop("stage1", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage1", 5000),
-          start_step=start_step, stride=bundle,
+          start_step=start_step, stride=bundle, train_tail=train_tail,
           snapshot=lambda step: save_train_state(snap_path, state_box[0]))
 
     state = state_box[0]
@@ -311,6 +474,8 @@ def train_stage2(
     metrics=None,
     val_n_samples: Optional[int] = None,
     resume: bool = True,
+    precompute: bool = True,
+    bundle_steps: int = 1,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage2", 16)
@@ -337,22 +502,87 @@ def train_stage2(
         print(f"[stage2] resuming from step {start_step}")
     state = replicate_tree(mesh, state)
     frozen = replicate_tree(mesh, frozen)
-    step_fn = jax.jit(
-        make_stage2_train_step(model, t_l, t_h, spec, tx), donate_argnums=0
-    )
 
     rng = jax.random.key(seed + 1)
-    batches = prefetch_batches(
-        make_batches(data.X_train, data.y_train, batch_size, shuffle=True,
-                     seed=seed, repeat=True, **_process_kwargs()),
-        mesh,
-    )
     state_box = [state]
+    bundle = 1
+    train_tail = None
+    # Precomputed-token path (default): the stage-1 encode is deterministic
+    # (eval BN + argmax VQ), so ONE eval sweep turns X_train into token
+    # grids and the train step is pure transformer compute — instead of
+    # re-running both frozen conv encoders every step (reference
+    # maskgit.py:167-168). Multi-host keeps the on-the-fly path (the
+    # precompute sweep isn't wired through the per-process feed).
+    precompute = precompute and jax.process_count() == 1
+    if precompute:
+        from tvqvae_tpu.train.stage2 import (
+            make_stage2_train_step_tokens,
+            precompute_token_dataset,
+        )
 
-    def train_once(step):
-        xb, yb = next(batches)
-        state_box[0], m = step_fn(state_box[0], frozen, xb, yb, rng)
-        return m
+        t0 = time.time()
+        # feed the sweep from the HBM-cached train split when possible
+        src = (
+            device_train_array(data.X_train)
+            if _use_device_data(True, data.X_train) else data.X_train
+        )
+        tok_l, tok_h = precompute_token_dataset(
+            model, frozen, src, batch_size=max(batch_size, 64),
+            mesh=mesh,
+        )
+        print(f"[stage2] precomputed {len(tok_l)} token rows in "
+              f"{time.time() - t0:.1f}s")
+        token_step_raw = make_stage2_train_step_tokens(t_l, t_h, spec, tx)
+        # token arrays are tiny (N x ~135 int32) — device-resident, with
+        # batch indices derived on device from state.step
+        tok_l_dev = jnp.asarray(tok_l)
+        tok_h_dev = jnp.asarray(tok_h)
+        data_key = jax.random.key(seed + 2)
+        if data.y_train is not None:
+            y_dev = jnp.asarray(data.y_train)
+            arrays = (tok_l_dev, tok_h_dev, y_dev)
+            step_body = token_step_raw
+        else:
+            arrays = (tok_l_dev, tok_h_dev)
+
+            def step_body(state, s_l, s_h, rng):
+                return token_step_raw(state, s_l, s_h, None, rng)
+
+        dstep = make_device_data_step(step_body, mesh, len(tok_l), batch_size)
+        bundle = bundle_steps if jax.process_count() == 1 else 1
+        token_gstep = jax.jit(
+            make_multistep(dstep, bundle) if bundle > 1 else dstep,
+            donate_argnums=0,
+        )
+        if bundle > 1 and (max_steps - start_step) % bundle:
+            token_g1 = jax.jit(dstep, donate_argnums=0)
+
+            def train_tail(step):
+                state_box[0], m = token_g1(
+                    state_box[0], arrays, data_key, rng
+                )
+                return m
+
+        def train_once(step):
+            state_box[0], m = token_gstep(
+                state_box[0], arrays, data_key, rng
+            )
+            return m
+    else:
+        step_fn = jax.jit(
+            make_stage2_train_step(model, t_l, t_h, spec, tx),
+            donate_argnums=0,
+        )
+        batches = prefetch_batches(
+            make_batches(data.X_train, data.y_train, batch_size, shuffle=True,
+                         seed=seed, repeat=True, **_process_kwargs()),
+            mesh,
+        )
+
+        def train_once(step):
+            xb, yb = next(batches)
+            state_box[0], m = step_fn(state_box[0], frozen, xb, yb, rng)
+            return m
 
     # validation-time sampling metrics (reference stage2.py:87-109)
     eval_once = None
@@ -393,7 +623,7 @@ def train_stage2(
 
     _loop("stage2", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage2", 10000),
-          start_step=start_step,
+          start_step=start_step, stride=bundle, train_tail=train_tail,
           snapshot=lambda step: save_train_state(snap_path, state_box[0]))
 
     state = state_box[0]
@@ -422,6 +652,7 @@ def train_stage3(
     metrics=None,
     val_n_samples: Optional[int] = None,
     resume: bool = True,
+    precompute: bool = True,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
@@ -455,26 +686,90 @@ def train_stage3(
         print(f"[stage3] resuming from step {start_step}")
     state = replicate_tree(mesh, state)
     frozen = replicate_tree(mesh, frozen)
-    step_fn = jax.jit(
-        make_stage3_train_step(
-            model, fe, tx, tau=tau,
-            percept_loss_weight=cfg.fidelity_enhancer.percept_loss_weight,
-        ),
-        donate_argnums=0,
-    )
 
     rng = jax.random.key(seed + 1)
-    batches = prefetch_batches(
-        make_batches(data.X_train, None, batch_size, shuffle=True, seed=seed,
-                     repeat=True, **_process_kwargs()),
-        mesh,
-    )
     state_box = [state]
+    # Precomputed-x' path (default at tau=0): the tau=0 SVQ roundtrip is
+    # deterministic (argmax VQ + eval BN), so ONE sweep precomputes x' for
+    # the whole train set and the step is pure U-Net compute — instead of
+    # re-running the frozen encoder/decoder pair every step (reference
+    # stage3.py:205-210). tau > 0 (stochastic x') and multi-host keep the
+    # on-the-fly path.
+    precompute = precompute and tau == 0.0 and jax.process_count() == 1
+    if precompute:
+        from tvqvae_tpu.train.stage3 import (
+            make_stage3_train_step_pre,
+            precompute_xprime_dataset,
+        )
 
-    def train_once(step):
-        xb, _ = next(batches)
-        state_box[0], m = step_fn(state_box[0], frozen, xb, rng)
-        return m
+        pre_step_raw = make_stage3_train_step_pre(
+            fe, tx,
+            percept_loss_weight=cfg.fidelity_enhancer.percept_loss_weight,
+        )
+        use_dev = _use_device_data(True, data.X_train)
+        t0 = time.time()
+        if use_dev:
+            # fully chip-local: x' computed from and stored in HBM; steps
+            # gather (x, x') pairs by index
+            from tvqvae_tpu.parallel.mesh import data_sharding
+
+            X_dev = device_train_array(data.X_train)
+            xprime = precompute_xprime_dataset(
+                model, frozen, X_dev, batch_size=max(batch_size, 32),
+                mesh=mesh, keep_on_device=True,
+            )
+            print(f"[stage3] precomputed {xprime.shape[0]} x' rows "
+                  f"(device-resident) in {time.time() - t0:.1f}s")
+            data_key = jax.random.key(seed + 2)
+            pre_g = jax.jit(
+                make_device_data_step(
+                    pre_step_raw, mesh, len(data.X_train), batch_size
+                ),
+                donate_argnums=0,
+            )
+
+            def train_once(step):
+                state_box[0], m = pre_g(
+                    state_box[0], (X_dev, xprime), data_key, rng
+                )
+                return m
+        else:
+            xprime = precompute_xprime_dataset(
+                model, frozen, data.X_train, batch_size=max(batch_size, 32),
+                mesh=mesh,
+            )
+            print(f"[stage3] precomputed {len(xprime)} x' rows in "
+                  f"{time.time() - t0:.1f}s")
+            pre_step = jax.jit(pre_step_raw, donate_argnums=0)
+            # x' rides the label slot of the batcher (same index selection)
+            batches = prefetch_batches(
+                make_batches(data.X_train, xprime, batch_size, shuffle=True,
+                             seed=seed, repeat=True),
+                mesh,
+            )
+
+            def train_once(step):
+                xb, xpb = next(batches)
+                state_box[0], m = pre_step(state_box[0], xb, xpb, rng)
+                return m
+    else:
+        step_fn = jax.jit(
+            make_stage3_train_step(
+                model, fe, tx, tau=tau,
+                percept_loss_weight=cfg.fidelity_enhancer.percept_loss_weight,
+            ),
+            donate_argnums=0,
+        )
+        batches = prefetch_batches(
+            make_batches(data.X_train, None, batch_size, shuffle=True,
+                         seed=seed, repeat=True, **_process_kwargs()),
+            mesh,
+        )
+
+        def train_once(step):
+            xb, _ = next(batches)
+            state_box[0], m = step_fn(state_box[0], frozen, xb, rng)
+            return m
 
     # validation-time sampling metrics with/without FE
     # (reference stage3.py:264-336)
@@ -596,13 +891,40 @@ def train_fcn(
         params = optax.apply_updates(params, updates)
         return params, mut["batch_stats"], opt_state, ce, acc
 
-    batches = make_batches(
-        data.X_train, data.y_train, min(batch_size, len(data.X_train)),
-        shuffle=True, seed=seed, repeat=True,
-    )
+    bs = min(batch_size, len(data.X_train))
+    if _use_device_data(True, data.X_train):
+        # device-resident gather (X/y uploaded once; host sends indices)
+        from tvqvae_tpu.parallel.mesh import data_sharding
+
+        X_dev = device_train_array(data.X_train)
+        y_dev = jnp.asarray(data.y_train)
+        idx_it = index_batches(len(data.X_train), bs, seed)
+
+        def gather(idx):
+            xb = jnp.take(X_dev, idx, axis=0)
+            yb = jnp.take(y_dev, idx, axis=0)
+            return (
+                jax.lax.with_sharding_constraint(
+                    xb, data_sharding(mesh, xb.ndim)
+                ),
+                jax.lax.with_sharding_constraint(
+                    yb, data_sharding(mesh, yb.ndim)
+                ),
+            )
+
+        gather = jax.jit(gather)
+        batches = (gather(jnp.asarray(next(idx_it))) for _ in iter(int, 1))
+    else:
+        raw = make_batches(
+            data.X_train, data.y_train, bs, shuffle=True, seed=seed,
+            repeat=True,
+        )
+        batches = (
+            shard_batch(mesh, (jnp.asarray(xb), jnp.asarray(yb)))
+            for xb, yb in raw
+        )
     for step in range(1, max_steps + 1):
         xb, yb = next(batches)
-        xb, yb = shard_batch(mesh, (jnp.asarray(xb), jnp.asarray(yb)))
         params, batch_stats, opt_state, ce, acc = step_fn(
             params, batch_stats, opt_state, xb, yb
         )
