@@ -161,16 +161,28 @@ def _chunk_rates(fn, n_chunks: int, chunk: int, unit_per_call: float = 1.0,
 
 
 
-def _state_drain(box, path=None):
-    """Returns a drain() that fetches a scalar DERIVED from box[0]'s params
-    (or the array itself) — forcing true completion of the queued chain."""
+def _state_drain(box):
+    """Returns a drain() that fetches scalars DERIVED from box[0]'s params
+    AND optimizer state (or the array itself) — forcing true completion of
+    the queued chain including the optimizer-update side of the graph."""
     import jax
     import jax.numpy as jnp
 
     def drain():
         st = box[0]
-        leaf = jax.tree.leaves(st.params if hasattr(st, "params") else st)[0]
-        return float(jnp.sum(leaf))
+        total = 0.0
+        if hasattr(st, "params"):
+            total += float(jnp.sum(jax.tree.leaves(st.params)[0]))
+            if hasattr(st, "opt_state"):
+                opt_leaves = [
+                    l for l in jax.tree.leaves(st.opt_state)
+                    if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+                ]
+                if opt_leaves:
+                    total += float(jnp.sum(opt_leaves[0]))
+        else:
+            total += float(jnp.sum(jax.tree.leaves(st)[0]))
+        return total
 
     return drain
 

@@ -144,13 +144,22 @@ def main():
         ess_sampler = TrainedModelSampler(
             ess_cfg, ckpt + "/stage1", ckpt + "/stage2", batch_size=32,
         )
+        # Drain with a device->host VALUE fetch: on this backend
+        # block_until_ready can signal before execution (PERF.md
+        # MEASUREMENT CORRECTION); device programs execute in order, so
+        # fetching a value from the last output drains the whole chain.
+        import jax.numpy as jnp
+
+        def _drain(o):
+            return float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
+
         out = ess_sampler._sample_batch(jax.random.key(0), 32, None)
-        jax.block_until_ready(out)
+        _drain(out)
         t0 = time.perf_counter()
         iters = 10
         for i in range(iters):
             out = ess_sampler._sample_batch(jax.random.key(i + 1), 32, None)
-        jax.block_until_ready(out)
+        _drain(out)
         res["ess_ms_per_32batch"] = (time.perf_counter() - t0) / iters * 1e3
         _, _, x_ess = ess_sampler.sample(n, seed=2)
         res["fid_gen_ess"] = metrics.fid_score(
