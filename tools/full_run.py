@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--stages", default="1,2,3,fcn,eval",
                     help="comma list of stages to run (resume-friendly)")
+    ap.add_argument("--bundle2", type=int, default=100,
+                    help="stage-2 lax.scan bundle width (precomputed-token "
+                         "steps are dispatch-bound; one program per N steps)")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.workdir)
@@ -120,7 +123,8 @@ def main():
         log({"milestone": "stage1", **res})
     if "2" in stages:
         t0 = time.time()
-        runner.train_stage2(cfg, data, paths["1"], paths["2"], None)
+        runner.train_stage2(cfg, data, paths["1"], paths["2"], None,
+                            bundle_steps=args.bundle2)
         dt = time.time() - t0
         res["stage2_minutes"] = round(dt / 60, 2)
         res["stage2_steps_per_s"] = round(budgets["stage2"] / dt, 2)

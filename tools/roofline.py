@@ -1,0 +1,220 @@
+"""Per-instruction HBM-traffic analysis of a compiled training step.
+
+VERDICT r2 item 3 asks to close or formally bound the stage-1 B=32 gap to
+its memory floor (measured 56 ms vs a 38 ms HLO-estimate floor). The
+aggregate XLA `bytes accessed` number cannot say WHERE the traffic goes, so
+this tool parses the optimized HLO of the compiled step and builds a
+per-instruction traffic table: for every top-level instruction in the ENTRY
+computation it charges result bytes + operand bytes (each fusion reads its
+inputs from HBM once and writes its outputs once — the standard fusion
+traffic model), both LOGICAL bytes and PADDED bytes per the TPU tiled
+layout `{...:T(a,b)}` (minor-most dims padded to the tile). The padded
+column is the one that matches the hardware: e.g. an (32,3,4634,8) f32
+tensor with an 8-wide minor dim occupies 128/8 = 16x its logical size in
+lane-padded form unless XLA picked a spatial-minor layout.
+
+Run ON THE REAL CHIP (the layouts/fusions are TPU-specific):
+
+    PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=\
+/tmp/jaxcache python tools/roofline.py [--top 40] [--fp32] [--batch 32]
+
+Output: one JSON line with totals + a text table of the top-N instructions
+by padded traffic, grouped subtotals by opcode category.
+"""
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "s4": 0.5, "u4": 0.5, "pred": 1, "c64": 8, "c128": 16,
+    "token": 0, "opaque": 0,
+}
+
+# one array shape with optional layout, e.g. bf16[32,3,4634,8]{3,2,1,0:T(8,128)(2,1)S(1)}
+SHAPE_RE = re.compile(
+    r"(?P<dt>[a-z0-9]+)\[(?P<dims>[0-9,]*)\](?:\{(?P<layout>[^}]*)\})?"
+)
+
+
+def _one_shape_bytes(dt, dims_str, layout):
+    if dt not in DTYPE_BYTES:
+        return 0.0, 0.0
+    esz = DTYPE_BYTES[dt]
+    dims = [int(d) for d in dims_str.split(",") if d] if dims_str else []
+    logical = esz * (math.prod(dims) if dims else 1)
+    padded = logical
+    if layout and dims:
+        m = re.match(r"(?P<perm>[0-9,]+)(?::.*?T\((?P<t>[0-9*,]+)\))?", layout)
+        if m and m.group("t"):
+            perm = [int(p) for p in m.group("perm").split(",")]
+            tile = [t for t in m.group("t").split(",")]
+            # physical order: minor-to-major is perm; materialize physical
+            # dims (major..minor) then pad the k minor-most by the tile
+            phys = [dims[p] for p in reversed(perm)]
+            tvals = []
+            for t in tile:
+                tvals.append(1 if t == "*" else int(t))
+            k = len(tvals)
+            if k <= len(phys):
+                for i in range(k):
+                    d = phys[len(phys) - k + i]
+                    t = tvals[i]
+                    phys[len(phys) - k + i] = math.ceil(d / t) * t
+            padded = esz * math.prod(phys)
+    return logical, padded
+
+
+def shape_bytes(s: str):
+    """Total (logical, padded) bytes over every array shape in the string
+    (handles tuples by summing members)."""
+    lo = pa = 0.0
+    for m in SHAPE_RE.finditer(s):
+        l, p = _one_shape_bytes(m.group("dt"), m.group("dims"), m.group("layout"))
+        lo += l
+        pa += p
+    return lo, pa
+
+
+INSTR_RE = re.compile(
+    r"^\s+(?P<root>ROOT\s+)?(?P<name>%?[\w.\-]+)\s*=\s*(?P<shape>\([^=]*?\)|"
+    r"[a-z0-9]+\[[0-9,]*\](?:\{[^}]*\})?)\s+(?P<op>[\w\-]+)\((?P<args>.*)$"
+)
+SKIP_OPS = {
+    "parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+    "bitcast-convert", "after-all", "partition-id", "replica-id",
+}
+
+
+def category(op, line):
+    if op == "fusion":
+        if "kind=kInput" in line:
+            return "fusion.input(reduce)"
+        if "kind=kOutput" in line:
+            return "fusion.output"
+        if "kind=kLoop" in line:
+            return "fusion.loop(elementwise)"
+        return "fusion.custom"
+    if "convolution" in op:
+        return "convolution"
+    if op in ("dot",):
+        return "matmul"
+    if "all-reduce" in op or "all-gather" in op or "reduce-scatter" in op:
+        return "collective"
+    if op in ("copy", "copy-start", "copy-done", "transpose", "reshape"):
+        return "copy/transpose"
+    if "custom-call" in op:
+        return "custom-call"
+    return op
+
+
+def analyze_entry(hlo_text: str, top: int = 40):
+    # entry computation: after "ENTRY " until its closing brace
+    m = re.search(r"\nENTRY [^\n]*\{\n(.*?)\n\}", hlo_text, re.S)
+    if not m:
+        raise SystemExit("no ENTRY computation found")
+    body = m.group(1)
+    # map name -> result shape string (for operand lookup)
+    shapes = {}
+    rows = []
+    for line in body.split("\n"):
+        im = INSTR_RE.match(line)
+        if not im:
+            continue
+        name = im.group("name").lstrip("%")
+        shapes[name] = im.group("shape")
+    for line in body.split("\n"):
+        im = INSTR_RE.match(line)
+        if not im:
+            continue
+        op = im.group("op")
+        if op in SKIP_OPS:
+            continue
+        name = im.group("name").lstrip("%")
+        res_lo, res_pa = shape_bytes(im.group("shape"))
+        # operand names: %tokens in the args segment up to the call/metadata
+        args = im.group("args")
+        op_lo = op_pa = 0.0
+        seen = set()
+        for om in re.finditer(r"%([\w.\-]+)", args):
+            oname = om.group(1)
+            if oname in seen or oname not in shapes:
+                continue
+            seen.add(oname)
+            l, p = shape_bytes(shapes[oname])
+            op_lo += l
+            op_pa += p
+        rows.append({
+            "name": name, "op": op, "cat": category(op, line),
+            "result": res_pa, "operands": op_pa,
+            "total": res_pa + op_pa,
+            "total_logical": res_lo + op_lo,
+        })
+    rows.sort(key=lambda r: -r["total"])
+    total_pa = sum(r["total"] for r in rows)
+    total_lo = sum(r["total_logical"] for r in rows)
+    by_cat = {}
+    for r in rows:
+        by_cat[r["cat"]] = by_cat.get(r["cat"], 0.0) + r["total"]
+    return rows[:top], total_lo, total_pa, by_cat
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--hlo_out", default="",
+                    help="also dump the optimized HLO text here")
+    args = ap.parse_args()
+
+    import jax
+
+    from bench import _cost_analysis, setup_stage1
+    from tvqvae_tpu.config import Config
+
+    cfg = Config()
+    dtype = "float32" if args.fp32 else "bfloat16"
+    spec, model, step, state, x = setup_stage1(
+        cfg, args.batch, 4, 4633, compute_dtype=dtype
+    )
+    rng = jax.random.key(1)
+    compiled = step.lower(state, x, rng).compile()
+    flops, nbytes = _cost_analysis(compiled)
+    txt = compiled.as_text()
+    if args.hlo_out:
+        with open(args.hlo_out, "w") as f:
+            f.write(txt)
+    rows, total_lo, total_pa, by_cat = analyze_entry(txt, args.top)
+
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "batch": args.batch, "dtype": dtype,
+        "xla_cost_bytes_gb": round((nbytes or 0) / 1e9, 2),
+        "entry_traffic_logical_gb": round(total_lo / 1e9, 2),
+        "entry_traffic_padded_gb": round(total_pa / 1e9, 2),
+        "floor_ms_at_819gbs_padded": round(total_pa / 819e9 * 1e3, 1),
+        "flops_tf": round((flops or 0) / 1e12, 3),
+        "device": dev.device_kind,
+    }))
+    print("\n-- by category (padded GB) --")
+    for c, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"{c:28s} {v/1e9:8.2f}  ({v/total_pa*100:4.1f}%)")
+    print(f"\n-- top {args.top} instructions by padded traffic --")
+    print(f"{'MB':>9} {'pad/log':>7}  {'category':24s} name")
+    for r in rows:
+        ratio = r["total"] / max(r["total_logical"], 1)
+        print(f"{r['total']/1e6:9.1f} {ratio:7.2f}  {r['cat']:24s} "
+              f"{r['op']}:{r['name'][:60]}")
+
+
+if __name__ == "__main__":
+    main()
