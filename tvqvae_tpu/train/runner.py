@@ -134,13 +134,17 @@ def _process_kwargs() -> dict:
 _DEVICE_DATA_CACHE: dict = {}
 
 
-def device_train_array(X: np.ndarray) -> jax.Array:
-    """Upload X once per process and memoize (keyed by the array object so
-    stage chaining in one process reuses the same HBM buffer)."""
+def device_train_array(mesh, X: np.ndarray) -> jax.Array:
+    """Upload X once per process, REPLICATED over the mesh, and memoize
+    (keyed by the array object so stage chaining in one process reuses the
+    same HBM buffer). Replication matters on >1 device: a plain
+    jnp.asarray commits to device 0 only, and a mesh-jitted program
+    gathering from it deadlocks the other devices at their first
+    collective."""
     key = id(X)
     ent = _DEVICE_DATA_CACHE.get(key)
     if ent is None or ent[0] is not X:
-        ent = (X, jnp.asarray(X))
+        ent = (X, replicate_tree(mesh, jnp.asarray(X)))
         _DEVICE_DATA_CACHE[key] = ent
     return ent[1]
 
@@ -322,7 +326,7 @@ def train_stage1(
     if use_dev_data:
         # batches gathered in HBM from the once-uploaded train split;
         # indices derive on device from state.step (zero per-step traffic)
-        X_dev = device_train_array(data.X_train)
+        X_dev = device_train_array(mesh, data.X_train)
         data_key = jax.random.key(seed + 2)
         gstep = jax.jit(
             make_device_data_step(
@@ -373,7 +377,7 @@ def train_stage1(
     if use_dev_data:
         from tvqvae_tpu.parallel.mesh import data_sharding
 
-        Xe_dev = device_train_array(data.X_test)
+        Xe_dev = device_train_array(mesh, data.X_test)
 
         def _eval_gather(state, X_full, idx):
             xe = jnp.take(X_full, idx, axis=0)
@@ -523,7 +527,7 @@ def train_stage2(
         t0 = time.time()
         # feed the sweep from the HBM-cached train split when possible
         src = (
-            device_train_array(data.X_train)
+            device_train_array(mesh, data.X_train)
             if _use_device_data(True, data.X_train) else data.X_train
         )
         tok_l, tok_h = precompute_token_dataset(
@@ -535,11 +539,11 @@ def train_stage2(
         token_step_raw = make_stage2_train_step_tokens(t_l, t_h, spec, tx)
         # token arrays are tiny (N x ~135 int32) — device-resident, with
         # batch indices derived on device from state.step
-        tok_l_dev = jnp.asarray(tok_l)
-        tok_h_dev = jnp.asarray(tok_h)
+        tok_l_dev = replicate_tree(mesh, jnp.asarray(tok_l))
+        tok_h_dev = replicate_tree(mesh, jnp.asarray(tok_h))
         data_key = jax.random.key(seed + 2)
         if data.y_train is not None:
-            y_dev = jnp.asarray(data.y_train)
+            y_dev = replicate_tree(mesh, jnp.asarray(data.y_train))
             arrays = (tok_l_dev, tok_h_dev, y_dev)
             step_body = token_step_raw
         else:
@@ -713,7 +717,7 @@ def train_stage3(
             # gather (x, x') pairs by index
             from tvqvae_tpu.parallel.mesh import data_sharding
 
-            X_dev = device_train_array(data.X_train)
+            X_dev = device_train_array(mesh, data.X_train)
             xprime = precompute_xprime_dataset(
                 model, frozen, X_dev, batch_size=max(batch_size, 32),
                 mesh=mesh, keep_on_device=True,
@@ -893,36 +897,57 @@ def train_fcn(
 
     bs = min(batch_size, len(data.X_train))
     if _use_device_data(True, data.X_train):
-        # device-resident gather (X/y uploaded once; host sends indices)
+        # device-resident: X/y uploaded once; batch indices derive ON DEVICE
+        # from a carried step scalar (zero per-step host->device traffic,
+        # same pattern as the stage loops)
         from tvqvae_tpu.parallel.mesh import data_sharding
 
-        X_dev = device_train_array(data.X_train)
-        y_dev = jnp.asarray(data.y_train)
-        idx_it = index_batches(len(data.X_train), bs, seed)
+        X_dev = device_train_array(mesh, data.X_train)
+        y_dev = replicate_tree(mesh, jnp.asarray(data.y_train))
+        data_key = jax.random.key(seed + 2)
+        N = len(data.X_train)
 
-        def gather(idx):
-            xb = jnp.take(X_dev, idx, axis=0)
-            yb = jnp.take(y_dev, idx, axis=0)
-            return (
-                jax.lax.with_sharding_constraint(
-                    xb, data_sharding(mesh, xb.ndim)
-                ),
-                jax.lax.with_sharding_constraint(
-                    yb, data_sharding(mesh, yb.ndim)
-                ),
+        @jax.jit
+        def dev_step(params, batch_stats, opt_state, step_c):
+            idx = device_epoch_indices(data_key, step_c, N, bs)
+            xb = jax.lax.with_sharding_constraint(
+                jnp.take(X_dev, idx, axis=0), data_sharding(mesh, X_dev.ndim)
             )
+            yb = jax.lax.with_sharding_constraint(
+                jnp.take(y_dev, idx, axis=0), data_sharding(mesh, y_dev.ndim)
+            )
+            params, batch_stats, opt_state, ce, acc = step_fn(
+                params, batch_stats, opt_state, xb, yb
+            )
+            return params, batch_stats, opt_state, step_c + 1, ce, acc
 
-        gather = jax.jit(gather)
-        batches = (gather(jnp.asarray(next(idx_it))) for _ in iter(int, 1))
-    else:
-        raw = make_batches(
-            data.X_train, data.y_train, bs, shuffle=True, seed=seed,
-            repeat=True,
+        step_c = jnp.int32(0)
+        for step in range(1, max_steps + 1):
+            params, batch_stats, opt_state, step_c, ce, acc = dev_step(
+                params, batch_stats, opt_state, step_c
+            )
+            if logger and step % 50 == 0:
+                logger.log_metrics(
+                    {"train/loss": float(ce), "train/acc": float(acc)}, step
+                )
+            if step % 200 == 0 or step == max_steps:
+                print(f"[fcn] step {step}/{max_steps} ce={float(ce):.4f} "
+                      f"acc={float(acc):.3f}")
+        save_checkpoint(
+            save_path,
+            {"params": params, "batch_stats": batch_stats},
+            meta=config_meta(cfg, data),
         )
-        batches = (
-            shard_batch(mesh, (jnp.asarray(xb), jnp.asarray(yb)))
-            for xb, yb in raw
-        )
+        return save_path
+
+    raw = make_batches(
+        data.X_train, data.y_train, bs, shuffle=True, seed=seed,
+        repeat=True,
+    )
+    batches = (
+        shard_batch(mesh, (jnp.asarray(xb), jnp.asarray(yb)))
+        for xb, yb in raw
+    )
     for step in range(1, max_steps + 1):
         xb, yb = next(batches)
         params, batch_stats, opt_state, ce, acc = step_fn(
