@@ -119,6 +119,7 @@ def main(argv=None):
                     max_steps=args.max_steps, seed=args.seed,
                     metrics=val_metrics,
                     precompute=not args.no_precompute,
+                    bundle_steps=args.bundle_steps,
                 )
             elif stage == "3":
                 tau = 0.0
