@@ -150,6 +150,7 @@ def main(argv=None):
                     else None,
                     metrics=val_metrics,
                     precompute=not args.no_precompute,
+                    bundle_steps=args.bundle_steps,
                 )
             elif stage == "fcn":
                 runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)

@@ -320,19 +320,24 @@ def train_stage1(
     # given backend — see PERF.md "bundled stepping" for this
     # environment's tunneled-backend caveat.
     bundle = bundle_steps if jax.process_count() == 1 else 1
-    use_dev_data = _use_device_data(data_on_device, data.X_train) and bundle == 1
+    use_dev_data = _use_device_data(data_on_device, data.X_train)
     rng = jax.random.key(seed + 1)
     state_box = [state]
     if use_dev_data:
         # batches gathered in HBM from the once-uploaded train split;
-        # indices derive on device from state.step (zero per-step traffic)
+        # indices derive on device from state.step (zero per-step traffic).
+        # bundle > 1 composes with this: make_multistep scans the
+        # device-data step, so one host dispatch advances `bundle`
+        # optimizer steps with per-step semantics intact (indices and
+        # dropout keys both derive from state.step inside the scan).
         X_dev = device_train_array(mesh, data.X_train)
         data_key = jax.random.key(seed + 2)
+        dstep = make_device_data_step(
+            make_stage1_train_step(model, tx), mesh,
+            len(data.X_train), batch_size,
+        )
         gstep = jax.jit(
-            make_device_data_step(
-                make_stage1_train_step(model, tx), mesh,
-                len(data.X_train), batch_size,
-            ),
+            make_multistep(dstep, bundle) if bundle > 1 else dstep,
             donate_argnums=0,
         )
 
@@ -433,19 +438,26 @@ def train_stage1(
     # which previously trained 0 steps).
     train_tail = None
     if bundle > 1 and (max_steps - start_step) % bundle:
-        single_step = jax.jit(
-            make_stage1_train_step(model, tx), donate_argnums=0
-        )
-        tail_batches = prefetch_batches(
-            make_batches(data.X_train, None, batch_size, shuffle=True,
-                         seed=seed + 7, repeat=True, **_process_kwargs()),
-            mesh,
-        )
+        if use_dev_data:
+            g1 = jax.jit(dstep, donate_argnums=0)
 
-        def train_tail(step):
-            xb, _ = next(tail_batches)
-            state_box[0], m = single_step(state_box[0], xb, rng)
-            return m
+            def train_tail(step):
+                state_box[0], m = g1(state_box[0], (X_dev,), data_key, rng)
+                return m
+        else:
+            single_step = jax.jit(
+                make_stage1_train_step(model, tx), donate_argnums=0
+            )
+            tail_batches = prefetch_batches(
+                make_batches(data.X_train, None, batch_size, shuffle=True,
+                             seed=seed + 7, repeat=True, **_process_kwargs()),
+                mesh,
+            )
+
+            def train_tail(step):
+                xb, _ = next(tail_batches)
+                state_box[0], m = single_step(state_box[0], xb, rng)
+                return m
 
     _loop("stage1", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage1", 5000),
@@ -657,6 +669,7 @@ def train_stage3(
     val_n_samples: Optional[int] = None,
     resume: bool = True,
     precompute: bool = True,
+    bundle_steps: int = 1,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
@@ -693,6 +706,8 @@ def train_stage3(
 
     rng = jax.random.key(seed + 1)
     state_box = [state]
+    bundle = 1
+    train_tail = None
     # Precomputed-x' path (default at tau=0): the tau=0 SVQ roundtrip is
     # deterministic (argmax VQ + eval BN), so ONE sweep precomputes x' for
     # the whole train set and the step is pure U-Net compute — instead of
@@ -725,12 +740,22 @@ def train_stage3(
             print(f"[stage3] precomputed {xprime.shape[0]} x' rows "
                   f"(device-resident) in {time.time() - t0:.1f}s")
             data_key = jax.random.key(seed + 2)
+            dstep3 = make_device_data_step(
+                pre_step_raw, mesh, len(data.X_train), batch_size
+            )
+            bundle = bundle_steps if jax.process_count() == 1 else 1
             pre_g = jax.jit(
-                make_device_data_step(
-                    pre_step_raw, mesh, len(data.X_train), batch_size
-                ),
+                make_multistep(dstep3, bundle) if bundle > 1 else dstep3,
                 donate_argnums=0,
             )
+            if bundle > 1 and (max_steps - start_step) % bundle:
+                g1 = jax.jit(dstep3, donate_argnums=0)
+
+                def train_tail(step):
+                    state_box[0], m = g1(
+                        state_box[0], (X_dev, xprime), data_key, rng
+                    )
+                    return m
 
             def train_once(step):
                 state_box[0], m = pre_g(
@@ -834,7 +859,7 @@ def train_stage3(
 
     _loop("stage3", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage3", 2500),
-          start_step=start_step,
+          start_step=start_step, stride=bundle, train_tail=train_tail,
           snapshot=lambda step: save_train_state(snap_path, state_box[0]))
 
     state = state_box[0]
@@ -907,14 +932,18 @@ def train_fcn(
         data_key = jax.random.key(seed + 2)
         N = len(data.X_train)
 
+        # X/y ride as ARGUMENTS, not closures: a closed-over jax.Array is
+        # embedded in the compiled program as a constant, which at full
+        # geometry (440 MB train split) exceeds the remote-compile request
+        # limit (HTTP 413) — and would be re-uploaded per compile besides.
         @jax.jit
-        def dev_step(params, batch_stats, opt_state, step_c):
+        def dev_step(params, batch_stats, opt_state, step_c, X, y):
             idx = device_epoch_indices(data_key, step_c, N, bs)
             xb = jax.lax.with_sharding_constraint(
-                jnp.take(X_dev, idx, axis=0), data_sharding(mesh, X_dev.ndim)
+                jnp.take(X, idx, axis=0), data_sharding(mesh, X.ndim)
             )
             yb = jax.lax.with_sharding_constraint(
-                jnp.take(y_dev, idx, axis=0), data_sharding(mesh, y_dev.ndim)
+                jnp.take(y, idx, axis=0), data_sharding(mesh, y.ndim)
             )
             params, batch_stats, opt_state, ce, acc = step_fn(
                 params, batch_stats, opt_state, xb, yb
@@ -924,7 +953,7 @@ def train_fcn(
         step_c = jnp.int32(0)
         for step in range(1, max_steps + 1):
             params, batch_stats, opt_state, step_c, ce, acc = dev_step(
-                params, batch_stats, opt_state, step_c
+                params, batch_stats, opt_state, step_c, X_dev, y_dev
             )
             if logger and step % 50 == 0:
                 logger.log_metrics(
