@@ -29,6 +29,15 @@ import numpy as np
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 
+# persistent compile cache: the big stage-1/decode programs cost 100-250 s
+# each over the remote-compile tunnel; caching makes stage relaunches and
+# the eval phase warm (jax is pre-imported by the image, so use
+# jax.config, not the env var).
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"))
+
 # published geometry (BASELINE.md; reference notebooks/pca_tsne.ipynb cell-2)
 N_TOTAL = 6592  # -> seeded 90/10 split = 5932 / 660
 CHANNELS = 4
@@ -65,6 +74,11 @@ def main():
     ap.add_argument("--bundle2", type=int, default=100,
                     help="stage-2 lax.scan bundle width (precomputed-token "
                          "steps are dispatch-bound; one program per N steps)")
+    ap.add_argument("--bundle1", type=int, default=1,
+                    help="stage-1 bundle width (device-resident data + "
+                         "lax.scan; hides per-step dispatch latency)")
+    ap.add_argument("--bundle3", type=int, default=1,
+                    help="stage-3 bundle width (precomputed-x' path)")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.workdir)
@@ -116,7 +130,8 @@ def main():
     if "1" in stages:
         t0 = time.time()
         runner.train_stage1(cfg, data, paths["1"], None,
-                            compute_dtype=dtype)
+                            compute_dtype=dtype,
+                            bundle_steps=args.bundle1)
         dt = time.time() - t0
         res["stage1_minutes"] = round(dt / 60, 2)
         res["stage1_steps_per_s"] = round(budgets["stage1"] / dt, 2)
@@ -131,7 +146,8 @@ def main():
         log({"milestone": "stage2", **res})
     if "3" in stages:
         t0 = time.time()
-        runner.train_stage3(cfg, data, paths["1"], paths["3"], None)
+        runner.train_stage3(cfg, data, paths["1"], paths["3"], None,
+                            bundle_steps=args.bundle3)
         dt = time.time() - t0
         res["stage3_minutes"] = round(dt / 60, 2)
         res["stage3_steps_per_s"] = round(budgets["stage3"] / dt, 2)
