@@ -724,6 +724,13 @@ def main():
             "(~400x its MEASURED 0.0254 steps/s on this host's CPU; "
             "tools/measure_reference.py)"
         ),
+        "full_geometry_run_measured": (
+            "published budgets 50k/200k/50k at L=4633/hid-128 trained "
+            "end-to-end on this chip in 117.3 min (round 3, "
+            "tools/full_run.py; stage-2 693 steps/s via precomputed "
+            "tokens); FID ladder at full geometry: floor 0.0002, rec "
+            "0.0004, gen 0.0028, noise 0.94; IS 3.65 — see PERF.md"
+        ),
     }
     if "mfu_vs_bf16_peak" in s1:
         extra["mfu_vs_bf16_peak"] = round(s1["mfu_vs_bf16_peak"], 4)
