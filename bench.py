@@ -186,7 +186,7 @@ def _state_drain(box):
 
     return drain
 
-def setup_stage1(cfg, B, C, L, compute_dtype="float32"):
+def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -196,7 +196,9 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32"):
     from tvqvae_tpu.train.stage1 import create_stage1_state
     from tvqvae_tpu.utils import warmup_cosine_schedule
 
-    spec = Stage1Spec.from_config(cfg, L, C, compute_dtype=compute_dtype)
+    spec = Stage1Spec.from_config(
+        cfg, L, C, compute_dtype=compute_dtype, remat=remat
+    )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32
     )
@@ -210,7 +212,7 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32"):
 
 
 def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
-                 compute_dtype="float32", bundle=1):
+                 compute_dtype="float32", bundle=1, remat=False):
     """Measures the per-step-dispatch training loop; with bundle > 1 ALSO
     measures the bundled lax.scan loop (runner `bundle_steps`).
 
@@ -226,7 +228,9 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
     from tvqvae_tpu.train.stage1 import make_stage1_train_multistep
     from tvqvae_tpu.train import make_stage1_train_step  # noqa: F401
 
-    spec, model, step, state, x = setup_stage1(cfg, B, C, L, compute_dtype)
+    spec, model, step, state, x = setup_stage1(
+        cfg, B, C, L, compute_dtype, remat=remat
+    )
     rng = jax.random.key(1)
 
     # FLOPs of the compiled step for MFU (before donation consumes buffers)
@@ -358,29 +362,46 @@ def bench_batch_sweep(cfg, C=4, L=4633, compute_dtype="bfloat16"):
 
     rows = []
     for B in (32, 128, 256):
-        spec, model, step, state, x = setup_stage1(cfg, B, C, L, compute_dtype)
-        rng = jax.random.key(1)
-        flops, _ = _cost_analysis(step.lower(state, x, rng).compile())
-        for _ in range(10):
-            state, m = step(state, x, rng)
-        jax.block_until_ready(m)
-        box = [state]
+        # each batch size isolated: a compile failure (the fp32 B=256
+        # compile once OOM-killed the remote compile helper, PERF.md)
+        # yields an error row instead of killing the whole sweep
+        try:
+            spec, model, step, state, x = setup_stage1(
+                cfg, B, C, L, compute_dtype
+            )
+            rng = jax.random.key(1)
+            flops, _ = _cost_analysis(step.lower(state, x, rng).compile())
+            for _ in range(10):
+                state, m = step(state, x, rng)
+            jax.block_until_ready(m)
+            box = [state]
 
-        def one():
-            box[0], mm = step(box[0], x, rng)
-            return mm
+            def one():
+                box[0], mm = step(box[0], x, rng)
+                return mm
 
-        rates = _chunk_rates(one, 5, 20, drain=_state_drain(box))
-        sps = float(np.percentile(rates, 50))
-        peak, kind = _peak_flops()
-        row = {
-            "mode": "stage1_train", "batch": B,
-            "steps_per_sec_p50": round(sps, 2),
-            "samples_per_sec_p50": round(sps * B, 1),
-        }
-        if flops and peak:
-            row["mfu_vs_bf16_peak"] = round(flops * sps / peak, 4)
+            rates = _chunk_rates(one, 5, 20, drain=_state_drain(box))
+            sps = float(np.percentile(rates, 50))
+            peak, kind = _peak_flops()
+            row = {
+                "mode": "stage1_train", "batch": B,
+                "steps_per_sec_p50": round(sps, 2),
+                "samples_per_sec_p50": round(sps * B, 1),
+                "compute_dtype": compute_dtype,
+            }
+            if flops and peak:
+                row["mfu_vs_bf16_peak"] = round(flops * sps / peak, 4)
+            del state, box, step
+        except Exception as e:  # noqa: BLE001 — keep sweeping
+            row = {
+                "mode": "stage1_train", "batch": B,
+                "compute_dtype": compute_dtype,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }
         rows.append(row)
+        import gc
+
+        gc.collect()
 
     spec, model, step, state, x = setup_stage1(cfg, 32, C, L, compute_dtype)
     for GB in (256, 1024):
@@ -666,6 +687,10 @@ def main():
     ap.add_argument("--fp32", action="store_true",
                     help="full-fp32 conv stacks (default is bfloat16 "
                          "compute, the quality-validated production mode)")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint the stage-1 conv blocks (recompute in "
+                         "backward) — probes the activation-traffic lever "
+                         "on the memory-bound step (PERF.md roofline)")
     args = ap.parse_args()
 
     from tvqvae_tpu.config import Config
@@ -677,7 +702,8 @@ def main():
             print(json.dumps(row))
         return
     if args.batch_sweep:
-        for row in bench_batch_sweep(cfg):
+        sweep_dtype = "float32" if args.fp32 else "bfloat16"
+        for row in bench_batch_sweep(cfg, compute_dtype=sweep_dtype):
             print(json.dumps(row))
         return
     if args.distances:
@@ -695,7 +721,7 @@ def main():
 
     dtype = "float32" if args.fp32 else "bfloat16"
     s1, spec, state = bench_stage1(cfg, compute_dtype=dtype,
-                                   bundle=args.bundle)
+                                   bundle=args.bundle, remat=args.remat)
     gen = bench_generation(cfg, spec, state)
 
     sps = s1["steps_per_sec_p50"]
@@ -736,6 +762,8 @@ def main():
         extra["mfu_vs_bf16_peak"] = round(s1["mfu_vs_bf16_peak"], 4)
         extra["flops_per_step"] = s1["flops_per_step"]
     extra["compute_dtype"] = dtype
+    if args.remat:
+        extra["remat"] = True
     print(json.dumps({
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),

@@ -172,6 +172,8 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint conv blocks — compare traffic vs plain")
     ap.add_argument("--hlo_out", default="",
                     help="also dump the optimized HLO text here")
     args = ap.parse_args()
@@ -184,7 +186,7 @@ def main():
     cfg = Config()
     dtype = "float32" if args.fp32 else "bfloat16"
     spec, model, step, state, x = setup_stage1(
-        cfg, args.batch, 4, 4633, compute_dtype=dtype
+        cfg, args.batch, 4, 4633, compute_dtype=dtype, remat=args.remat
     )
     rng = jax.random.key(1)
     compiled = step.lower(state, x, rng).compile()
@@ -197,7 +199,7 @@ def main():
 
     dev = jax.devices()[0]
     print(json.dumps({
-        "batch": args.batch, "dtype": dtype,
+        "batch": args.batch, "dtype": dtype, "remat": bool(args.remat),
         "xla_cost_bytes_gb": round((nbytes or 0) / 1e9, 2),
         "entry_traffic_logical_gb": round(total_lo / 1e9, 2),
         "entry_traffic_padded_gb": round(total_pa / 1e9, 2),

@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--length", type=int, default=4633)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint conv blocks (tests the activation-"
+                         "traffic lever on the memory-bound step)")
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument("--chunk", type=int, default=10)
     ap.add_argument("--cpu", action="store_true",
@@ -99,6 +102,7 @@ def main():
     spec = Stage1Spec.from_config(
         cfg, L, C,
         compute_dtype="float32" if args.fp32 else "bfloat16",
+        remat=args.remat,
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32
@@ -259,6 +263,7 @@ def main():
     print("ABLATE " + json.dumps({
         "batch": B, "length": L,
         "dtype": "fp32" if args.fp32 else "bf16",
+        "remat": bool(args.remat),
         **{k: v for k, v in res.items()},
     }), flush=True)
 

@@ -65,11 +65,16 @@ class Stage1Spec:
     # conv-stack compute dtype ("float32" | "bfloat16"); params/BN stats/VQ/
     # losses stay fp32. bf16 halves activation HBM traffic on TPU.
     compute_dtype: str = "float32"
+    # checkpoint (rematerialize) each conv block in backward: trades cheap
+    # recompute FLOPs for saved activation HBM traffic on the memory-bound
+    # stage-1 step (PERF.md roofline). Numerics pinned by tests/test_remat.py.
+    remat: bool = False
 
     @staticmethod
     def from_config(
         cfg: Config, input_length: int, in_channels: int,
         use_pallas: bool = False, compute_dtype: str = "float32",
+        remat: bool = False,
     ) -> "Stage1Spec":
         g_l = token_geometry(
             input_length, cfg.vqvae.n_fft, cfg.encoder.downsampled_width["lf"]
@@ -107,6 +112,7 @@ class Stage1Spec:
             dropout_enc=cfg.encoder.dropout,
             dropout_dec=cfg.decoder.dropout,
             compute_dtype=compute_dtype,
+            remat=remat,
         )
 
 
@@ -130,20 +136,22 @@ class Stage1Model(nn.Module):
         dt = jnp.dtype(s.compute_dtype)
         self.encoder_l = VQVAEEncoder(
             s.init_dim, s.hid_dim, s.halvings_l, s.n_resnet_blocks_enc,
-            dropout=s.dropout_enc, dtype=dt,
+            dropout=s.dropout_enc, dtype=dt, remat=s.remat,
         )
         self.encoder_h = VQVAEEncoder(
             s.init_dim, s.hid_dim, s.halvings_h, s.n_resnet_blocks_enc,
-            dropout=s.dropout_enc, dtype=dt,
+            dropout=s.dropout_enc, dtype=dt, remat=s.remat,
         )
         spectral_ch = 2 * s.in_channels
         self.decoder_l = VQVAEDecoder(
             s.init_dim, s.hid_dim, spectral_ch, s.halvings_l,
             s.n_resnet_blocks_dec, dropout=s.dropout_dec, dtype=dt,
+            remat=s.remat,
         )
         self.decoder_h = VQVAEDecoder(
             s.init_dim, s.hid_dim, spectral_ch, s.halvings_h,
             s.n_resnet_blocks_dec, dropout=s.dropout_dec, dtype=dt,
+            remat=s.remat,
         )
         self.head_l = TimeHead(s.input_length)
         self.head_h = TimeHead(s.input_length)

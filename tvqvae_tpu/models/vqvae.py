@@ -26,6 +26,33 @@ from flax import linen as nn
 from .layers import ConvTranspose2dTorch, DecBlock2d, EncBlock2d, ResBlock2d
 
 
+class _BlockFactory:
+    """Builds blocks, optionally wrapped in flax's lifted jax.checkpoint.
+
+    Rematerialization is a TRAINING-throughput lever on a memory-bound step:
+    the stage-1 conv stacks are HBM-bandwidth-bound at the published shapes
+    (PERF.md roofline — activations are (B, 3, 4634, C) maps), so NOT saving
+    block-internal activations for the backward pass trades cheap recompute
+    FLOPs (MFU is ~9%) for saved HBM writes+reads. `train` (argnum 2, after
+    self and x) is a static python bool.
+
+    nn.remat renames the wrapped class (Checkpoint<Block>), which would move
+    params to different tree paths — so blocks always get an EXPLICIT name
+    reproducing flax's auto-numbering, keeping checkpoints byte-identical
+    between the two modes (tests/test_remat.py).
+    """
+
+    def __init__(self, remat: bool):
+        self.remat = remat
+        self.counts = {}
+
+    def __call__(self, cls, *args, **kw):
+        n = self.counts.get(cls.__name__, 0)
+        self.counts[cls.__name__] = n + 1
+        wrapped = nn.remat(cls, static_argnums=(2,)) if self.remat else cls
+        return wrapped(*args, name=f"{cls.__name__}_{n}", **kw)
+
+
 class VQVAEEncoder(nn.Module):
     """(B, H, W, 2C) time-frequency map -> (B, H', W', hid_dim) latents."""
 
@@ -36,23 +63,27 @@ class VQVAEEncoder(nn.Module):
     frequency_independence: bool = False
     dropout: float = 0.3
     dtype: Any = jnp.float32  # compute dtype for the conv stack (params fp32)
+    remat: bool = False  # checkpoint each block (recompute in backward)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        mk = _BlockFactory(self.remat)
         d = self.init_dim
-        x = EncBlock2d(d, self.frequency_independence, dtype=self.dtype)(x, train)
+        x = mk(EncBlock2d, d, self.frequency_independence,
+               dtype=self.dtype)(x, train)
         d *= 2
         for _ in range(self.num_halvings - 1):
-            x = EncBlock2d(d, self.frequency_independence, dtype=self.dtype)(x, train)
+            x = mk(EncBlock2d, d, self.frequency_independence,
+                   dtype=self.dtype)(x, train)
             for _ in range(self.n_resnet_blocks):
-                x = ResBlock2d(
-                    d, self.frequency_independence, dropout=self.dropout,
-                    dtype=self.dtype,
+                x = mk(
+                    ResBlock2d, d, self.frequency_independence,
+                    dropout=self.dropout, dtype=self.dtype,
                 )(x, train)
             d *= 2
-        x = ResBlock2d(
-            self.hid_dim, self.frequency_independence, dropout=self.dropout,
-            dtype=self.dtype,
+        x = mk(
+            ResBlock2d, self.hid_dim, self.frequency_independence,
+            dropout=self.dropout, dtype=self.dtype,
         )(x, train)
         return x.astype(jnp.float32)  # VQ distances always fp32
 
@@ -69,24 +100,27 @@ class VQVAEDecoder(nn.Module):
     frequency_independence: bool = False
     dropout: float = 0.3
     dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint each block (recompute in backward)
 
     @nn.compact
     def __call__(self, z, train: bool = False):
+        mk = _BlockFactory(self.remat)
         k = self.num_halvings
         d = self.init_dim * 2 ** (k - 1) if k >= 1 else self.init_dim
         ksize = (1, 4) if self.frequency_independence else (3, 4)
         pad = (0, 1) if self.frequency_independence else (1, 1)
 
-        x = ResBlock2d(d, self.frequency_independence, dropout=self.dropout,
-                       dtype=self.dtype)(z, train)
+        x = mk(ResBlock2d, d, self.frequency_independence,
+               dropout=self.dropout, dtype=self.dtype)(z, train)
         for _ in range(k - 1):
             for _ in range(self.n_resnet_blocks):
-                x = ResBlock2d(
-                    d, self.frequency_independence, dropout=self.dropout,
-                    dtype=self.dtype,
+                x = mk(
+                    ResBlock2d, d, self.frequency_independence,
+                    dropout=self.dropout, dtype=self.dtype,
                 )(x, train)
             d //= 2
-            x = DecBlock2d(d, self.frequency_independence, dtype=self.dtype)(x, train)
+            x = mk(DecBlock2d, d, self.frequency_independence,
+                   dtype=self.dtype)(x, train)
         x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad,
                                  dtype=self.dtype)(x)
         x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad,

@@ -40,6 +40,10 @@ def build_argparser():
                         "host round-trip latency)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas VQ kernel in stage 1")
+    p.add_argument("--remat", action="store_true",
+                   help="stage-1: checkpoint conv blocks (recompute in "
+                        "backward) — trades cheap FLOPs for activation HBM "
+                        "traffic on the memory-bound step")
     p.add_argument("--no_val_metrics", action="store_true",
                    help="skip validation-time sampling metrics "
                         "(running_metrics/FID etc.) in stages 2/3")
@@ -112,6 +116,7 @@ def main(argv=None):
                     compute_dtype="bfloat16" if args.bf16 else "float32",
                     bundle_steps=args.bundle_steps,
                     data_on_device=not args.host_data,
+                    remat=args.remat,
                 )
             elif stage == "2":
                 runner.train_stage2(
