@@ -545,7 +545,8 @@ def bench_stage2(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10):
     return out
 
 
-def bench_stage3(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10):
+def bench_stage3(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10,
+                 compute_dtype="float32"):
     """Stage-3 (fidelity enhancer) training step at the published config
     (batch_sizes.stage3=16): frozen SVQ roundtrip -> U-Net FE -> L1 -> AdamW."""
     import jax
@@ -571,6 +572,7 @@ def bench_stage3(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10):
         dim_mults=tuple(cfg.fidelity_enhancer.dim_mults),
         resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
         dropout=cfg.fidelity_enhancer.dropout,
+        compute_dtype=compute_dtype,
     )
     x = jnp.asarray(np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32)
     params = init_stage3(jax.random.key(3), fe, x)
@@ -716,7 +718,10 @@ def main():
         print(json.dumps(bench_stage2(cfg)))
         return
     if args.stage3:
-        print(json.dumps(bench_stage3(cfg)))
+        s3_dtype = "float32" if args.fp32 else "bfloat16"
+        out3 = bench_stage3(cfg, compute_dtype=s3_dtype)
+        out3["compute_dtype"] = s3_dtype
+        print(json.dumps(out3))
         return
 
     dtype = "float32" if args.fp32 else "bfloat16"

@@ -43,6 +43,30 @@ def test_fidelity_enhancer_resizes_input():
     assert y.shape == (2, 2, 96)
 
 
+def test_fidelity_enhancer_bf16_matches_fp32():
+    """bf16 U-Net stream: identical param tree (checkpoints interchangeable),
+    fp32 output dtype, and loose agreement with the fp32 path (bf16 has ~3
+    significant decimal digits)."""
+    kw = dict(input_length=96, in_channels=2, dim=8, dim_mults=(1, 2),
+              resnet_block_groups=4, dropout=0.0)
+    fe32 = FidelityEnhancer(**kw)
+    fe16 = FidelityEnhancer(**kw, compute_dtype="bfloat16")
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 2, 96)) * 0.3, jnp.float32
+    )
+    params = init_stage3(jax.random.key(0), fe32, x)
+    assert jax.tree.structure(params) == jax.tree.structure(
+        init_stage3(jax.random.key(0), fe16, x)
+    )
+    y32 = fe32.apply({"params": params}, x, False)
+    y16 = fe16.apply({"params": params}, x, False)
+    assert y16.dtype == jnp.float32
+    assert bool(jnp.isfinite(y16).all())
+    scale = float(jnp.abs(y32).max()) + 1e-6
+    err = float(jnp.abs(y16 - y32).max()) / scale
+    assert err < 0.1, err
+
+
 def test_stage3_training_improves():
     cfg = Config.from_dict(
         {

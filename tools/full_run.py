@@ -147,7 +147,8 @@ def main():
     if "3" in stages:
         t0 = time.time()
         runner.train_stage3(cfg, data, paths["1"], paths["3"], None,
-                            bundle_steps=args.bundle3)
+                            bundle_steps=args.bundle3,
+                            compute_dtype=dtype)
         dt = time.time() - t0
         res["stage3_minutes"] = round(dt / 60, 2)
         res["stage3_steps_per_s"] = round(budgets["stage3"] / dt, 2)

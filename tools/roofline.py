@@ -167,29 +167,108 @@ def analyze_entry(hlo_text: str, top: int = 40):
     return rows[:top], total_lo, total_pa, by_cat
 
 
+def _compile_stage2_tokens(cfg, B):
+    """Compile the PRODUCTION stage-2 step (precomputed-token path) at the
+    published geometry — pure transformer compute over 27/108-token grids."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bench import setup_stage1
+    from tvqvae_tpu.models.maskgit import MaskGITSpec, build_transformers
+    from tvqvae_tpu.train.stage2 import (
+        create_stage2_state,
+        init_stage2,
+        make_stage2_train_step_tokens,
+    )
+    from tvqvae_tpu.utils import warmup_cosine_schedule
+
+    spec, _, _, _, _ = setup_stage1(cfg, B, 4, 4633)
+    mg = MaskGITSpec.from_config(cfg, spec)
+    t_l, t_h = build_transformers(cfg, spec, n_classes=5)
+    p2, h_stats = init_stage2(jax.random.key(2), t_l, t_h, mg)
+    tx = optax.adamw(warmup_cosine_schedule(1e-3, 200000), weight_decay=0.01)
+    state = create_stage2_state(p2, h_stats, tx)
+    step = jax.jit(make_stage2_train_step_tokens(t_l, t_h, mg, tx),
+                   donate_argnums=0)
+    s_l = jnp.zeros((B, spec.tokens_l), jnp.int32)
+    s_h = jnp.zeros((B, spec.tokens_h), jnp.int32)
+    y = jnp.zeros((B, 1), jnp.int32)
+    return step.lower(state, s_l, s_h, y, jax.random.key(1)).compile()
+
+
+def _compile_stage3_pre(cfg, B, compute_dtype="float32"):
+    """Compile the PRODUCTION stage-3 step (precomputed-x' path)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tvqvae_tpu.models.fidelity_enhancer import FidelityEnhancer
+    from tvqvae_tpu.train.stage3 import (
+        create_stage3_state,
+        init_stage3,
+        make_stage3_train_step_pre,
+    )
+    from tvqvae_tpu.utils import warmup_cosine_schedule
+
+    L, C = 4633, 4
+    fe = FidelityEnhancer(
+        input_length=L, in_channels=C, dim=cfg.fidelity_enhancer.dim,
+        dim_mults=tuple(cfg.fidelity_enhancer.dim_mults),
+        resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
+        dropout=cfg.fidelity_enhancer.dropout,
+        compute_dtype=compute_dtype,
+    )
+    x = jnp.zeros((B, C, L), jnp.float32)
+    params = init_stage3(jax.random.key(3), fe, x)
+    tx = optax.adamw(warmup_cosine_schedule(1e-3, 50000), weight_decay=0.01)
+    state = create_stage3_state(params, tx)
+    step = jax.jit(make_stage3_train_step_pre(fe, tx), donate_argnums=0)
+    return step.lower(state, x, x, jax.random.key(1)).compile()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--fp32", action="store_true")
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="default: the stage's published batch (32/16/16)")
+    ap.add_argument("--stage", type=int, default=1, choices=(1, 2, 3),
+                    help="which training step to analyze (stages 2/3 use "
+                         "the production precomputed paths)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint conv blocks — compare traffic vs plain")
     ap.add_argument("--hlo_out", default="",
                     help="also dump the optimized HLO text here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sanity runs; CPU layouts/"
+                         "fusions differ from TPU — real analysis needs "
+                         "the chip)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from bench import _cost_analysis, setup_stage1
     from tvqvae_tpu.config import Config
 
     cfg = Config()
     dtype = "float32" if args.fp32 else "bfloat16"
-    spec, model, step, state, x = setup_stage1(
-        cfg, args.batch, 4, 4633, compute_dtype=dtype, remat=args.remat
-    )
-    rng = jax.random.key(1)
-    compiled = step.lower(state, x, rng).compile()
+    if args.stage == 2:
+        B = args.batch or 16
+        compiled = _compile_stage2_tokens(cfg, B)
+    elif args.stage == 3:
+        B = args.batch or 16
+        compiled = _compile_stage3_pre(cfg, B, compute_dtype=dtype)
+    else:
+        B = args.batch or 32
+        spec, model, step, state, x = setup_stage1(
+            cfg, B, 4, 4633, compute_dtype=dtype, remat=args.remat
+        )
+        rng = jax.random.key(1)
+        compiled = step.lower(state, x, rng).compile()
     flops, nbytes = _cost_analysis(compiled)
     txt = compiled.as_text()
     if args.hlo_out:
@@ -199,7 +278,8 @@ def main():
 
     dev = jax.devices()[0]
     print(json.dumps({
-        "batch": args.batch, "dtype": dtype, "remat": bool(args.remat),
+        "stage": args.stage,
+        "batch": B, "dtype": dtype, "remat": bool(args.remat),
         "xla_cost_bytes_gb": round((nbytes or 0) / 1e9, 2),
         "entry_traffic_logical_gb": round(total_lo / 1e9, 2),
         "entry_traffic_padded_gb": round(total_pa / 1e9, 2),

@@ -19,7 +19,7 @@ The SVQ temperature tau lives in the stage-3 train state (not a module
 buffer); reference registers it on the module (:472) with default 0.0.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -30,10 +30,16 @@ from .layers import Snake
 
 
 class WSConv1d(nn.Module):
-    """Weight-standardized 1-D conv (reference :98-120)."""
+    """Weight-standardized 1-D conv (reference :98-120).
+
+    `dtype` is the conv compute dtype (params stay fp32; weight
+    standardization always in fp32). bf16 halves the stage-3 step's
+    activation HBM traffic — the step is memory-bound at ~20 GB fp32
+    (tools/roofline.py --stage 3)."""
 
     features: int
     kernel_size: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -43,42 +49,50 @@ class WSConv1d(nn.Module):
             (self.kernel_size, in_ch, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        # eps keyed on COMPUTE dtype (reference keys on half-vs-float)
+        eps = 1e-5 if self.dtype == jnp.float32 else 1e-3
         mean = kernel.mean(axis=(0, 1), keepdims=True)
         var = kernel.var(axis=(0, 1), keepdims=True)
         w = (kernel - mean) * jax.lax.rsqrt(var + eps)
         pad = (self.kernel_size - 1) // 2
         y = jax.lax.conv_general_dilated(
-            x, w, window_strides=(1,), padding=[(pad, pad)],
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(1,), padding=[(pad, pad)],
             dimension_numbers=("NHC", "HIO", "NHC"),
         )
-        return y + bias
+        return y + bias.astype(self.dtype)
 
 
 class ChanLayerNorm(nn.Module):
-    """Channel LayerNorm with scale only (reference :123-132)."""
+    """Channel LayerNorm with scale only (reference :123-132). Statistics
+    always in fp32; result in the input dtype."""
 
     @nn.compact
     def __call__(self, x):
         eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
         g = self.param("g", nn.initializers.ones_init(), (x.shape[-1],))
-        mean = x.mean(axis=-1, keepdims=True)
-        var = x.var(axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + eps) * g
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + eps) * g).astype(x.dtype)
 
 
 class UnetBlock(nn.Module):
-    """WSConv -> GroupNorm -> Snake -> Dropout (reference :186-204)."""
+    """WSConv -> GroupNorm -> Snake -> Dropout (reference :186-204).
+    Convs/Snake in `dtype`; GroupNorm statistics always fp32."""
 
     features: int
     groups: int = 8
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = WSConv1d(self.features)(x)
+        x = WSConv1d(self.features, dtype=self.dtype)(x)
         # epsilon 1e-5 matches torch nn.GroupNorm (flax default is 1e-6)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
         x = Snake(self.features)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -88,14 +102,17 @@ class ResnetBlock1d(nn.Module):
     features: int
     groups: int = 8
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = UnetBlock(self.features, self.groups, self.dropout)(x, train)
-        h = UnetBlock(self.features, self.groups, self.dropout)(h, train)
+        h = UnetBlock(self.features, self.groups, self.dropout,
+                      dtype=self.dtype)(x, train)
+        h = UnetBlock(self.features, self.groups, self.dropout,
+                      dtype=self.dtype)(h, train)
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1,))(x)
-        return x + h
+            x = nn.Conv(self.features, (1,), dtype=self.dtype)(x)
+        return x.astype(self.dtype) + h
 
 
 class LinearAttention1d(nn.Module):
@@ -146,11 +163,16 @@ class Attention1d(nn.Module):
 
 
 class _PreNormResidual(nn.Module):
+    """Pre-norm residual around an attention module. The attention inner
+    runs fp32 regardless of stream dtype (its params are fp32 and flax
+    promotes; traffic there is negligible — attention acts on the
+    downsampled N=~580 maps); the residual add stays in the stream dtype."""
+
     inner: nn.Module
 
     @nn.compact
     def __call__(self, x):
-        return x + self.inner(ChanLayerNorm()(x))
+        return x + self.inner(ChanLayerNorm()(x)).astype(x.dtype)
 
 
 class Unet1D(nn.Module):
@@ -159,34 +181,36 @@ class Unet1D(nn.Module):
     dim_mults: Sequence[int] = (1, 2, 4, 8)
     resnet_block_groups: int = 8
     dropout: float = 0.0
+    dtype: Any = jnp.float32  # stream compute dtype (params/norm stats fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: (B, L, C) channel-last; returns (B, L, channels)."""
-        g, p = self.resnet_block_groups, self.dropout
+        """x: (B, L, C) channel-last; returns (B, L, channels) fp32."""
+        g, p, dt = self.resnet_block_groups, self.dropout, self.dtype
         dims = [self.dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
 
-        x = nn.Conv(self.dim, (7,), padding=[(3, 3)])(x)
+        x = nn.Conv(self.dim, (7,), padding=[(3, 3)], dtype=dt)(x)
         r = x
         skips = []
 
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
-            x = ResnetBlock1d(dim_in, g, p)(x, train)
+            x = ResnetBlock1d(dim_in, g, p, dtype=dt)(x, train)
             skips.append(x)
-            x = ResnetBlock1d(dim_in, g, p)(x, train)
+            x = ResnetBlock1d(dim_in, g, p, dtype=dt)(x, train)
             x = _PreNormResidual(LinearAttention1d())(x)
             skips.append(x)
             if not is_last:
-                x = nn.Conv(dim_out, (4,), strides=(2,), padding=[(1, 1)])(x)
+                x = nn.Conv(dim_out, (4,), strides=(2,), padding=[(1, 1)],
+                            dtype=dt)(x)
             else:
-                x = nn.Conv(dim_out, (3,), padding=[(1, 1)])(x)
+                x = nn.Conv(dim_out, (3,), padding=[(1, 1)], dtype=dt)(x)
 
         mid = dims[-1]
-        x = ResnetBlock1d(mid, g, p)(x, train)
+        x = ResnetBlock1d(mid, g, p, dtype=dt)(x, train)
         x = _PreNormResidual(Attention1d())(x)
-        x = ResnetBlock1d(mid, g, p)(x, train)
+        x = ResnetBlock1d(mid, g, p, dtype=dt)(x, train)
 
         def resize_cat(x, skip):
             skip = jnp.swapaxes(
@@ -197,33 +221,34 @@ class Unet1D(nn.Module):
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             x = resize_cat(x, skips.pop())
-            x = ResnetBlock1d(dim_out, g, p)(x, train)
+            x = ResnetBlock1d(dim_out, g, p, dtype=dt)(x, train)
             x = resize_cat(x, skips.pop())
-            x = ResnetBlock1d(dim_out, g, p)(x, train)
+            x = ResnetBlock1d(dim_out, g, p, dtype=dt)(x, train)
             x = _PreNormResidual(LinearAttention1d())(x)
             if not is_last:
                 # nearest-2x + k3 conv upsample
                 x = jnp.swapaxes(
                     interp_nearest(jnp.swapaxes(x, 1, 2), x.shape[1] * 2), 1, 2
                 )
-                x = nn.Conv(dim_in, (3,), padding=[(1, 1)])(x)
+                x = nn.Conv(dim_in, (3,), padding=[(1, 1)], dtype=dt)(x)
             else:
-                x = nn.Conv(dim_in, (3,), padding=[(1, 1)])(x)
+                x = nn.Conv(dim_in, (3,), padding=[(1, 1)], dtype=dt)(x)
 
         # last_up (reference :392,458)
         x = jnp.swapaxes(
             interp_nearest(jnp.swapaxes(x, 1, 2), x.shape[1] * 2), 1, 2
         )
-        x = nn.Conv(dims[0], (3,), padding=[(1, 1)])(x)
+        x = nn.Conv(dims[0], (3,), padding=[(1, 1)], dtype=dt)(x)
         # resize back to stem length + residual concat (reference :459-461)
         x = jnp.swapaxes(
             interp_linear(jnp.swapaxes(x, 1, 2), r.shape[1]), 1, 2
         )
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock1d(self.dim, g, p)(x, train)
+        x = ResnetBlock1d(self.dim, g, p, dtype=dt)(x, train)
 
         # output head: k1 conv then two k3 replicate-padded convs (:399-415)
-        x = nn.Conv(self.channels, (1,))(x)
+        # — always fp32 (the head writes the final C=4 trajectory)
+        x = nn.Conv(self.channels, (1,))(x.astype(jnp.float32))
         for _ in range(2):
             xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), mode="edge")
             x = nn.Conv(self.channels, (3,), padding="VALID")(xp)
@@ -240,6 +265,11 @@ class FidelityEnhancer(nn.Module):
     dim_mults: Sequence[int] = (1, 2, 4, 8)
     resnet_block_groups: int = 4
     dropout: float = 0.5
+    # U-Net stream compute dtype ("float32" | "bfloat16"); params, norm
+    # statistics, attention, and the output head stay fp32. bf16 halves
+    # the stage-3 step's ~20 GB activation traffic (memory-bound,
+    # tools/roofline.py --stage 3).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -251,5 +281,6 @@ class FidelityEnhancer(nn.Module):
             dim_mults=tuple(self.dim_mults),
             resnet_block_groups=self.resnet_block_groups,
             dropout=self.dropout,
+            dtype=jnp.dtype(self.compute_dtype),
         )(x, train)
-        return jnp.swapaxes(x, 1, 2)  # (B, C, L)
+        return jnp.swapaxes(x, 1, 2).astype(jnp.float32)  # (B, C, L)

@@ -32,8 +32,9 @@ def build_argparser():
                    help="run the FID-matching SVQ-temperature search before "
                         "stage 3 (reference defines but never calls it)")
     p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 compute in the stage-1 conv stacks "
-                        "(params/BN stats/VQ/losses stay fp32)")
+                   help="bfloat16 compute in the stage-1 conv stacks and "
+                        "the stage-3 U-Net stream (params/norm stats/VQ/"
+                        "losses/attention stay fp32)")
     p.add_argument("--bundle_steps", type=int, default=1,
                    help="stage-1: optimizer steps per jitted lax.scan "
                         "bundle (1 = classic per-step dispatch; >1 hides "
@@ -156,6 +157,7 @@ def main(argv=None):
                     metrics=val_metrics,
                     precompute=not args.no_precompute,
                     bundle_steps=args.bundle_steps,
+                    compute_dtype="bfloat16" if args.bf16 else "float32",
                 )
             elif stage == "fcn":
                 runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)

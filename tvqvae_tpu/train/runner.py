@@ -671,6 +671,7 @@ def train_stage3(
     resume: bool = True,
     precompute: bool = True,
     bundle_steps: int = 1,
+    compute_dtype: str = "float32",
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
@@ -684,6 +685,7 @@ def train_stage3(
         dim_mults=tuple(cfg.fidelity_enhancer.dim_mults),
         resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
         dropout=cfg.fidelity_enhancer.dropout,
+        compute_dtype=compute_dtype,
     )
     x0 = jnp.asarray(data.X_train[: min(4, batch_size)])
     params = init_stage3(jax.random.key(seed), fe, x0)
