@@ -257,6 +257,9 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
         "perstep_steps_per_sec_p50": float(np.percentile(rates, 50)),
         "perstep_steps_per_sec_p10": float(np.percentile(rates, 10)),
         "perstep_steps_per_sec_p90": float(np.percentile(rates, 90)),
+        # raw per-chunk series: makes any p10/p50 spread attributable in
+        # the artifact itself (tunnel weather vs a genuine slow mode)
+        "chunk_rates": [round(float(r), 2) for r in rates],
     }
 
     if bundle > 1:
@@ -349,6 +352,7 @@ def bench_generation(cfg, spec, state, GB=256, chunks=7, chunk=6):
         "traj_per_sec_p50": float(np.percentile(rates, 50)),
         "traj_per_sec_p10": float(np.percentile(rates, 10)),
         "traj_per_sec_p90": float(np.percentile(rates, 90)),
+        "chunk_rates": [round(float(r), 1) for r in rates],
         "gen_batch": GB,
         "decode_steps": {"lf": mg.T_l, "hf": mg.T_h},
     }
@@ -735,11 +739,13 @@ def main():
         "gen_traj_per_sec_p10_p90": [
             round(gen["traj_per_sec_p10"], 1), round(gen["traj_per_sec_p90"], 1)
         ],
+        "gen_chunk_rates": gen.get("chunk_rates"),
         "gen_batch": gen["gen_batch"],
         "decode_steps": gen["decode_steps"],
         "steps_per_sec_p10_p90": [
             round(s1["steps_per_sec_p10"], 3), round(s1["steps_per_sec_p90"], 3)
         ],
+        "stage1_chunk_rates": s1.get("chunk_rates"),
         "bundle_steps": s1.get("bundle_steps", 1),
         "perstep_dispatch_steps_per_sec_p50": round(
             s1.get("perstep_steps_per_sec_p50", 0.0), 3
