@@ -90,6 +90,46 @@ def test_fid_identity_and_separation():
     np.testing.assert_allclose(calculate_fid(z1, z3), 16 * 4.0, rtol=0.05)
 
 
+def test_fid_svd_matches_schur_full_rank():
+    # full-rank covariances (n > D): the SVD trace identity and scipy's
+    # Schur sqrtm are the same quantity — agreement to fp noise
+    rng = np.random.default_rng(1)
+    z1 = rng.normal(size=(500, 16))
+    z2 = rng.normal(size=(400, 16)) * 1.3 + 0.7
+    a = calculate_fid(z1, z2, method="schur")
+    b = calculate_fid(z1, z2, method="svd")
+    np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-10)
+    assert calculate_fid(z1, z1, method="svd") < 1e-8
+
+
+def test_fid_svd_exact_on_rank_deficient():
+    # n < D (the published eval regime: 660/1024 samples, 2000 ROCKET dims):
+    # the ground truth is sum sqrt(eig(S1 S2)) over the exactly-nonzero
+    # spectrum; the SVD identity reproduces it, while Schur on the singular
+    # product drifts by O(sqrt(eps)) per zero mode (documented in eval_utils)
+    rng = np.random.default_rng(2)
+    z1 = rng.normal(size=(40, 100))
+    z2 = rng.normal(size=(30, 100)) * 1.1 + 0.2
+    s1 = np.cov(z1, rowvar=False)
+    s2 = np.cov(z2, rowvar=False)
+    lam = np.linalg.eigvals(s1.dot(s2))
+    lam = np.clip(lam.real, 0.0, None)
+    tr_sqrt_true = np.sqrt(lam).sum()
+    mu1, mu2 = z1.mean(0), z2.mean(0)
+    want = float(((mu1 - mu2) ** 2).sum() + np.trace(s1 + s2)
+                 - 2.0 * tr_sqrt_true)
+    got = calculate_fid(z1, z2, method="svd")
+    # the eigvals oracle itself carries O(sqrt(eps)) zero-mode noise, so the
+    # tolerance is looser than the full-rank test's
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_fid_method_rejects_unknown():
+    z = np.zeros((10, 4))
+    with pytest.raises(ValueError):
+        calculate_fid(z, z, method="cholesky")
+
+
 def test_inception_score_bounds():
     # perfectly confident, uniform class usage -> IS == n_classes
     p = np.eye(4)[np.tile(np.arange(4), 25)]

@@ -36,8 +36,10 @@ class Metrics:
         feature_extractor_type: str = "rocket",
         fcn_variables: Optional[dict] = None,
         rocket_num_kernels: int = 1000,
+        fid_method: str = "schur",
     ):
         self.feature_extractor_type = feature_extractor_type
+        self.fid_method = fid_method
         self.batch_size = batch_size
         self.n_classes = n_classes
         self.X_train = np.asarray(X_train)
@@ -88,9 +90,16 @@ class Metrics:
 
     # ------------------------------------------------------------------
 
-    def fid_score(self, z1: np.ndarray, z2: np.ndarray) -> float:
-        """Outlier-filtered FID (reference :175-178)."""
-        return calculate_fid(remove_outliers(z1), remove_outliers(z2))
+    def fid_score(
+        self, z1: np.ndarray, z2: np.ndarray, method: Optional[str] = None
+    ) -> float:
+        """Outlier-filtered FID (reference :175-178). `method` overrides the
+        instance default ("schur" = reference-exact scipy sqrtm; "svd" =
+        exact trace identity, ~50x faster at eval shapes — eval_utils)."""
+        return calculate_fid(
+            remove_outliers(z1), remove_outliers(z2),
+            method=method or self.fid_method,
+        )
 
     def inception_score(self, x_gen: np.ndarray, n_split: int = 5):
         assert self._fcn is not None, "IS needs the supervised FCN"

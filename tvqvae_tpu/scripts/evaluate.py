@@ -24,7 +24,8 @@ from tvqvae_tpu.utils import plots
 
 def evaluate(cfg: Config, data, ckpt_dir: str, logger: RunLogger,
              batch_size: int, min_num_gen: int, use_fe: bool,
-             feature_extractor_type: str, seed: int = 0) -> dict:
+             feature_extractor_type: str, seed: int = 0,
+             fid_method: str = "schur") -> dict:
     stage1 = os.path.join(ckpt_dir, "stage1")
     stage2 = os.path.join(ckpt_dir, "stage2")
     stage3 = os.path.join(ckpt_dir, "stage3")
@@ -48,6 +49,7 @@ def evaluate(cfg: Config, data, ckpt_dir: str, logger: RunLogger,
         feature_extractor_type=feature_extractor_type,
         fcn_variables=fcn_vars if feature_extractor_type == "supervised_fcn"
         else None,
+        fid_method=fid_method,
     )
     fcn_metrics = None
     if have_fcn:
@@ -152,6 +154,10 @@ def main(argv=None):
     p.add_argument("--feature_extractor_type", type=str, default=None,
                    choices=[None, "rocket", "supervised_fcn"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fid_method", type=str, default="schur",
+                   choices=("schur", "svd"),
+                   help="schur = reference-exact scipy sqrtm; svd = exact "
+                        "trace identity, ~50x faster at eval shapes")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
@@ -175,6 +181,7 @@ def main(argv=None):
             feature_extractor_type=args.feature_extractor_type
             or cfg.evaluation.feature_extractor_type,
             seed=args.seed,
+            fid_method=args.fid_method,
         )
     finally:
         logger.close()

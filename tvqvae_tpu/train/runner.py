@@ -628,7 +628,9 @@ def train_stage2(
                 done += vbatch
             x = np.concatenate(xs)[:n_val]
             z = metrics.z_gen_fn(x)
-            fid = metrics.fid_score(metrics.z_test, z)
+            # val-time monitoring: the exact SVD trace identity (~50x faster
+            # than the reference's Schur sqrtm at these shapes; eval_utils)
+            fid = metrics.fid_score(metrics.z_test, z, method="svd")
             mdd, acd, sd, kd = metrics.stat_metrics(metrics.X_test, x)
             return {
                 "running_metrics/FID": fid, "running_metrics/MDD": mdd,
@@ -849,7 +851,7 @@ def train_stage3(
             for tag, arr in [("", x), (" with FE", x_fe)]:
                 z = metrics.z_gen_fn(arr)
                 out[f"running_metrics/FID{tag}"] = metrics.fid_score(
-                    metrics.z_test, z
+                    metrics.z_test, z, method="svd"
                 )
                 mdd, acd, sd, kd = metrics.stat_metrics(metrics.X_test, arr)
                 out[f"running_metrics/MDD{tag}"] = mdd
