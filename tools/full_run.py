@@ -174,13 +174,24 @@ def main():
             cfg.evaluation.batch_size, data.X_train, data.X_test,
             feature_extractor_type="rocket",
         )
-        res["fid_floor"] = metrics.fid_score(metrics.z_train, metrics.z_test)
+        t_sqrtm = {"schur": 0.0, "svd": 0.0}
+
+        def fid_both(key, z1, z2):
+            # schur = reference-exact scipy sqrtm (headline, comparable to
+            # the round-3 fullrun numbers); svd = exact trace identity
+            # (eval_utils) — log both + their host cost at full geometry
+            for m in ("schur", "svd"):
+                tm = time.time()
+                res[key if m == "schur" else key + "_svd"] = \
+                    metrics.fid_score(z1, z2, method=m)
+                t_sqrtm[m] += time.time() - tm
+            return res[key]
+
+        fid_both("fid_floor", metrics.z_train, metrics.z_test)
         noise = np.random.default_rng(0).normal(
             size=(min(n, 256), data.in_channels, data.input_length)
         ).astype(np.float32)
-        res["fid_noise"] = metrics.fid_score(
-            metrics.z_test, metrics.z_gen_fn(noise)
-        )
+        fid_both("fid_noise", metrics.z_test, metrics.z_gen_fn(noise))
         log({"milestone": "fid_floor", "fid_floor": res["fid_floor"],
              "fid_noise": res["fid_noise"]})
 
@@ -189,20 +200,16 @@ def main():
             use_fidelity_enhancer=True, batch_size=64,
         )
         xrec = sampler.reconstruct(data.X_test[: min(n, len(data.X_test))])
-        res["fid_rec"] = metrics.fid_score(
-            metrics.z_test, metrics.z_gen_fn(xrec)
-        )
+        fid_both("fid_rec", metrics.z_test, metrics.z_gen_fn(xrec))
         sampler.use_fe = False
         t_gen = time.time()
         _, _, xgen = sampler.sample(n, seed=1)
         res["gen_seconds"] = round(time.time() - t_gen, 1)
         xgen_fe = sampler.enhance(xgen)
-        res["fid_gen"] = metrics.fid_score(
-            metrics.z_test, metrics.z_gen_fn(xgen)
-        )
-        res["fid_gen_fe"] = metrics.fid_score(
-            metrics.z_test, metrics.z_gen_fn(xgen_fe)
-        )
+        fid_both("fid_gen", metrics.z_test, metrics.z_gen_fn(xgen))
+        fid_both("fid_gen_fe", metrics.z_test, metrics.z_gen_fn(xgen_fe))
+        res["fid_schur_seconds"] = round(t_sqrtm["schur"], 1)
+        res["fid_svd_seconds"] = round(t_sqrtm["svd"], 1)
         mdd, acd, sd, kd = metrics.stat_metrics(metrics.X_test, xgen)
         res.update({"mdd": mdd, "acd": acd, "sd": sd, "kd": kd})
 
