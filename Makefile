@@ -15,7 +15,7 @@ CONFIG ?=
 CONFIG_FLAG := $(if $(CONFIG),--config $(CONFIG),)
 
 .PHONY: preprocess preprocess_landing train train_fcn generate evaluate \
-        evaluate_flyability test test-fast bench
+        evaluate_flyability serve test test-fast bench
 
 preprocess:
 	python -m tvqvae_tpu.scripts.preprocess --ADEP $(ADEP) --ADES $(ADES) \
@@ -51,6 +51,11 @@ evaluate_flyability:
 	python -m tvqvae_tpu.scripts.evaluate_flyability \
 	  --synthetic_file $(SYNTH_DIR)/synthetic.npz --ADEP $(ADEP) \
 	  --ADES $(ADES)
+
+serve:
+	python -m tvqvae_tpu.scripts.serve $(CONFIG_FLAG) \
+	  --dataset_file $(DATASET_FILE) --model_save_dir $(MODEL_DIR) \
+	  --port $(or $(PORT),8080)
 
 test:
 	python -m pytest tests/ -x -q

@@ -123,6 +123,37 @@ def test_full_pipeline(tiny_cfg, tmp_path):
     )
     assert tau in (0.5, 2)
 
+    # --- serving layer over the REAL sampler (HTTP end-to-end) ---
+    import json
+    import threading
+    from http.client import HTTPConnection
+
+    from tvqvae_tpu.serving import GenerationService, make_server
+
+    svc = GenerationService(
+        sampler, scaler=data.scaler, features=["a", "b"], max_request=32
+    )
+    srv = make_server(svc, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=120)
+        conn.request(
+            "POST", "/v1/generate",
+            body=json.dumps({"n": 4, "class_index": 0, "seed": 5}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        served = np.asarray(out["X"])
+        assert served.shape == (4, data.in_channels, data.input_length)
+        assert np.isfinite(served).all()
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
     # --- FCN-based IS through the engine ---
     from tvqvae_tpu.train.runner import load_fcn_bundle
 
