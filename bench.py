@@ -58,6 +58,79 @@ _PEAK_FLOPS = {
 }
 
 
+_LAST_GOOD_CACHE = "/tmp/bench_last_good.json"
+
+
+def _emit_stale_and_exit(reason: str) -> None:
+    """Driver-mode fallback when the TPU service is unreachable (observed
+    outages exceed 11 h, 2026-08-17/18): emit the most recent MEASURED
+    driver line, clearly marked stale, instead of hanging until the driver
+    gives up with no record at all. Sources, in order: the cache written by
+    the last successful run on this host, then the round-2 driver artifact."""
+    import os
+
+    row = None
+    src = None
+    for cand in (_LAST_GOOD_CACHE,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_r02.json")):
+        try:
+            with open(cand) as f:
+                obj = json.load(f)
+            # driver artifacts wrap the line under "parsed"
+            row = obj.get("parsed", obj)
+            if "metric" in row:
+                src = cand
+                break
+        except Exception:
+            continue
+    if row is None:
+        row = {"metric": "stage1_train_steps_per_sec", "value": 0.0,
+               "unit": "steps/s", "vs_baseline": 0.0, "extra": {}}
+        src = "none"
+    extra = dict(row.get("extra") or {})
+    extra["stale"] = True
+    extra["stale_reason"] = reason
+    extra["stale_source"] = src
+    row = {**row, "extra": extra}
+    print(json.dumps(row), flush=True)
+    os._exit(3)  # the hung backend init cannot be cancelled cooperatively
+
+
+def _driver_mode_guard(timeout_s: float) -> None:
+    """First device contact with a watchdog: if the backend neither
+    initializes nor fails within timeout_s (service outage; a mere claim
+    wedge clears in 10-20 min), emit the stale fallback line."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            _emit_stale_and_exit(
+                f"TPU backend init neither succeeded nor failed within "
+                f"{timeout_s:.0f}s (service outage pattern)"
+            )
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        import jax
+
+        jax.devices()  # triggers backend init / blocks on claim or outage
+    except Exception as e:
+        _emit_stale_and_exit(f"TPU backend init failed: {e!r}")
+    done.set()
+
+
+def _save_last_good(row: dict) -> None:
+    try:
+        with open(_LAST_GOOD_CACHE, "w") as f:
+            json.dump({**row, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S")}, f)
+    except OSError:
+        pass
+
+
 def _peak_flops():
     import jax
 
@@ -697,7 +770,19 @@ def main():
                     help="checkpoint the stage-1 conv blocks (recompute in "
                          "backward) — probes the activation-traffic lever "
                          "on the memory-bound step (PERF.md roofline)")
+    ap.add_argument("--tpu-wait", type=float,
+                    default=float(__import__("os").environ.get(
+                        "BENCH_TPU_WAIT", 1800.0)),
+                    help="driver mode: seconds to wait for TPU backend init "
+                         "before emitting the stale-fallback line (claim "
+                         "wedges clear in 10-20 min; outages hang 25+ min "
+                         "then raise)")
     args = ap.parse_args()
+
+    driver_mode = not any((args.vq_sweep, args.batch_sweep, args.distances,
+                           args.train_loop, args.stage2, args.stage3))
+    if driver_mode:
+        _driver_mode_guard(args.tpu_wait)
 
     from tvqvae_tpu.config import Config
 
@@ -775,7 +860,7 @@ def main():
     extra["compute_dtype"] = dtype
     if args.remat:
         extra["remat"] = True
-    print(json.dumps({
+    row = {
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),
         "unit": (
@@ -787,7 +872,10 @@ def main():
         ),
         "vs_baseline": round(sps / BASELINE_STAGE1_STEPS_PER_SEC, 3),
         "extra": extra,
-    }))
+    }
+    if not args.fp32 and not args.remat and args.bundle == 1:
+        _save_last_good(row)  # stale-fallback source for outage windows
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
