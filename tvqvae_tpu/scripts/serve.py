@@ -35,12 +35,27 @@ def main(argv=None):
     p.add_argument("--warm_classes", action="store_true",
                    help="also pre-compile the per-class conditional programs")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="fan generation out over all local devices via a "
+                        "1-D data mesh (batch_size must divide the device "
+                        "count; single-device serving needs no flag)")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
     data = get_data(args.dataset_file, cfg.dataset.features,
                     scale=cfg.dataset.data_scaling)
     ckpt = os.path.join(args.model_save_dir, Path(args.dataset_file).stem)
+
+    mesh = None
+    if args.data_parallel:
+        from tvqvae_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        if args.batch_size % n_dev:
+            p.error(f"--batch_size {args.batch_size} must divide the "
+                    f"device count {n_dev}")
+        print(f"[serve] data-parallel over {n_dev} devices", flush=True)
 
     stage3 = os.path.join(ckpt, "stage3")
     sampler = TrainedModelSampler(
@@ -50,6 +65,7 @@ def main(argv=None):
         stage3_ckpt=stage3 if (args.use_fe and os.path.exists(stage3)) else None,
         use_fidelity_enhancer=args.use_fe,
         batch_size=args.batch_size,
+        mesh=mesh,
     )
     service = GenerationService(
         sampler,
