@@ -45,6 +45,11 @@ def build_argparser():
                    help="stage-1: checkpoint conv blocks (recompute in "
                         "backward) — trades cheap FLOPs for activation HBM "
                         "traffic on the memory-bound step")
+    p.add_argument("--rbg_rng", action="store_true",
+                   help="stage-1: use XLA's cheap counter-based (rbg) "
+                        "generator for the training rng (dropout masks) "
+                        "instead of threefry — see tools/dropout_probe.py "
+                        "for the measured cost difference")
     p.add_argument("--no_val_metrics", action="store_true",
                    help="skip validation-time sampling metrics "
                         "(running_metrics/FID etc.) in stages 2/3")
@@ -118,6 +123,7 @@ def main(argv=None):
                     bundle_steps=args.bundle_steps,
                     data_on_device=not args.host_data,
                     remat=args.remat,
+                    rng_impl="rbg" if args.rbg_rng else None,
                 )
             elif stage == "2":
                 runner.train_stage2(
