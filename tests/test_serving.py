@@ -118,6 +118,75 @@ def test_warmup_compiles_each_path():
     assert {("conditional", c) for c in range(3)} <= set(kinds)
 
 
+def test_coalescing_merges_concurrent_same_class_requests():
+    svc = make_service(coalesce_ms=200.0)
+    try:
+        results = []
+
+        def hit():
+            results.append(svc.generate(2, class_index=1))
+
+        threads = [threading.Thread(target=hit) for _ in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 5
+        for X, y in results:
+            assert X.shape == (2, C, L) and y.tolist() == [1, 1]
+        # 5 concurrent n=2 requests within the window merge into at most
+        # ceil(10/8)=2 device calls (3 allowed for scheduler slop on a
+        # loaded 1-core host) instead of 5
+        cond_calls = [c for c in svc.sampler.calls
+                      if c[1] == "conditional"]
+        assert 1 <= len(cond_calls) <= 3
+        assert sum(c[0] for c in cond_calls) == 10
+    finally:
+        svc.close()
+
+
+def test_coalescing_separates_classes_and_explicit_seeds():
+    svc = make_service(coalesce_ms=40.0)
+    try:
+        # explicit seed bypasses the dispatcher (reproducibility contract)
+        X1, _ = svc.generate(2, class_index=0, seed=7)
+        X2, _ = svc.generate(2, class_index=0, seed=7)
+        np.testing.assert_array_equal(X1, X2)
+
+        results = {}
+
+        def hit(cls):
+            results[cls] = svc.generate(1, class_index=cls)
+
+        threads = [threading.Thread(target=hit, args=(c,)) for c in (0, 1, 2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for cls in (0, 1, 2):
+            X, y = results[cls]
+            assert y.tolist() == [cls]
+        # different classes never share a batch
+        seedless = [c for c in svc.sampler.calls if c[0] == 1]
+        assert len(seedless) == 3
+    finally:
+        svc.close()
+
+
+def test_coalescing_propagates_errors():
+    svc = make_service(coalesce_ms=20.0)
+
+    def boom(n, kind, class_index=None, seed=0, batch_size=None):
+        raise RuntimeError("device on fire")
+
+    svc.sampler.sample = boom
+    try:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            svc.generate(2, class_index=1)
+    finally:
+        svc.close()
+
+
 # ---------------------------------------------------------------------------
 # HTTP server
 

@@ -39,6 +39,12 @@ def main(argv=None):
                    help="fan generation out over all local devices via a "
                         "1-D data mesh (batch_size must divide the device "
                         "count; single-device serving needs no flag)")
+    p.add_argument("--coalesce_ms", type=float, default=None,
+                   help="merge concurrent same-class seedless requests "
+                        "arriving within this window into one device batch "
+                        "(the sampler pays a full batch per call, so this "
+                        "is ~k x throughput for k concurrent small "
+                        "requests)")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
@@ -72,6 +78,7 @@ def main(argv=None):
         scaler=data.scaler if cfg.dataset.data_scaling else None,
         features=cfg.dataset.features,
         max_request=args.max_request,
+        coalesce_ms=args.coalesce_ms,
     )
     if not args.no_warmup:
         print("[serve] warming decode programs...", flush=True)

@@ -81,7 +81,9 @@ class _Handler(BaseHTTPRequestHandler):
         return resp
 
     def _generate(self, req: dict):
-        seed = int(req.get("seed", 0))
+        seed = req.get("seed")  # absent -> fresh randomness (coalescable)
+        if seed is not None:
+            seed = int(seed)
         postprocess = bool(req.get("postprocess", True))
         fmt = req.get("format", "json")
         if fmt not in ("json", "npz"):
@@ -92,7 +94,8 @@ class _Handler(BaseHTTPRequestHandler):
                 int(k): int(v) for k, v in dict(req["class_counts"]).items()
             }
             X, y = self.service.generate_mix(
-                counts, seed=seed, postprocess=postprocess
+                counts, seed=0 if seed is None else seed,
+                postprocess=postprocess,
             )
         else:
             if "n" not in req:
