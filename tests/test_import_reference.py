@@ -211,6 +211,89 @@ def test_stage1_import_cli_roundtrip(tmp_path):
     )
 
 
+# --- stage 3 (fidelity enhancer) ---------------------------------------------
+
+
+def _ref_stage3_state_dict():
+    """Reference-style Lightning stage3.ckpt: fidelity_enhancer.* keys (the
+    prefix sampler.py:100-106 strips) + frozen-stage junk that the importer
+    must ignore."""
+    from timevqvae.models.fidelity_enhancer import FidelityEnhancer
+
+    fe = FidelityEnhancer(
+        input_length=L, in_channels=C,
+        config={"fidelity_enhancer": {
+            "dim": 8, "dim_mults": [1, 2, 4, 8],
+            "resnet_block_groups": 4, "dropout": 0.0,
+        }},
+    )
+    _randomize(fe, seed=23)
+    with torch.no_grad():
+        fe.tau.fill_(0.35)
+    fe.eval()
+    sd = {f"fidelity_enhancer.{k}": v for k, v in fe.state_dict().items()}
+    sd["maskgit.transformer_l.junk"] = torch.zeros(3)
+    return fe, {"state_dict": sd, "hyper_parameters": {}}
+
+
+def test_stage3_import_cli_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import yaml
+
+    from tvqvae_tpu.config import Config
+    from tvqvae_tpu.models.fidelity_enhancer import FidelityEnhancer
+    from tvqvae_tpu.scripts.import_ckpt import main as import_main
+    from tvqvae_tpu.utils.checkpoint import load_checkpoint
+
+    _, s1_obj = _ref_stage1_state_dict()
+    ref_fe, s3_obj = _ref_stage3_state_dict()
+    s1 = str(tmp_path / "stage1.ckpt")
+    s3 = str(tmp_path / "stage3.ckpt")
+    torch.save(s1_obj, s1)
+    torch.save(s3_obj, s3)
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({**TINY_CFG, "fidelity_enhancer": {
+            "dim": 8, "dim_mults": [1, 2, 4, 8],
+            "resnet_block_groups": 4, "dropout": 0.0,
+        }}, f)
+
+    out_dir = str(tmp_path / "models")
+    import_main(["--stage1_ckpt", s1, "--stage3_ckpt", s3,
+                 "--out_dir", out_dir, "--config", cfg_path,
+                 "--n_classes", "3"])
+
+    tree3, meta3 = load_checkpoint(os.path.join(out_dir, "stage3"))
+    assert abs(float(np.asarray(tree3["tau"])) - 0.35) < 1e-6
+    assert meta3["input_length"] == L and meta3["in_channels"] == C
+
+    cfg = Config.from_yaml(cfg_path)
+    fe = FidelityEnhancer(
+        input_length=L, in_channels=C,
+        dim=cfg.fidelity_enhancer.dim,
+        dim_mults=tuple(cfg.fidelity_enhancer.dim_mults),
+        resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
+        dropout=cfg.fidelity_enhancer.dropout,
+    )  # exactly the sampler's stage-3 reconstruction (sampler.py:75-83)
+    x = np.random.default_rng(11).normal(size=(B, C, 96)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref_fe(torch.from_numpy(x)).numpy()
+    out = np.asarray(
+        fe.apply({"params": tree3["params"]}, jnp.asarray(x), False)
+    )
+    np.testing.assert_allclose(out, out_ref, rtol=5e-4, atol=5e-4)
+
+
+def test_stage3_import_requires_stage1(tmp_path):
+    from tvqvae_tpu.scripts.import_ckpt import main as import_main
+
+    _, s3_obj = _ref_stage3_state_dict()
+    s3 = str(tmp_path / "stage3.ckpt")
+    torch.save(s3_obj, s3)
+    with pytest.raises(SystemExit):
+        import_main(["--stage3_ckpt", s3, "--out_dir", str(tmp_path / "m")])
+
+
 def test_import_rejects_mismatched_config(tmp_path):
     import yaml
 

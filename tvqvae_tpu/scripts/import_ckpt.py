@@ -1,16 +1,19 @@
 """Import reference-trained checkpoints (torch) into framework checkpoints.
 
     import_ckpt --stage1_ckpt saved_models/DS/stage1.ckpt \
+                --stage3_ckpt saved_models/DS/stage3.ckpt \
                 --fcn_ckpt saved_models/DS/fcn.ckpt \
                 --out_dir saved_models/OpenSky_EHAM_LIMC --n_classes 5
 
 Writes Orbax checkpoints this framework's loaders read directly
-(`runner.load_stage1_bundle`, `runner.load_fcn_bundle`): an imported
-stage-1 enables reconstruction / SVQ round-trips / recon-FID evaluation,
-and an imported FCN makes FID/IS numbers computed here feature-identical
-to the reference's (the transplant tests pin the conversion to 2e-4).
-Stage-2 (x-transformers prior) and stage-3 (FE) retrain here in minutes —
-see tvqvae_tpu/utils/import_reference.py for why they are not imported.
+(`runner.load_stage1_bundle`, `runner.load_fcn_bundle`, and the
+TrainedModelSampler's stage-3 path): an imported stage-1 enables
+reconstruction / SVQ round-trips / recon-FID evaluation, an imported FCN
+makes FID/IS numbers computed here feature-identical to the reference's
+(the transplant tests pin the conversion to 2e-4), and an imported stage-3
+carries over the trained fidelity enhancer (incl. its tau buffer). Only
+stage-2 (x-transformers prior) is not importable — it retrains here in
+minutes; see tvqvae_tpu/utils/import_reference.py.
 
 Every imported tree is validated against a freshly-initialized model of the
 same config: identical tree structure and shapes, or the CLI aborts with
@@ -66,6 +69,9 @@ def main(argv=None):
     )
     p.add_argument("--stage1_ckpt", type=str, default=None,
                    help="reference stage1.ckpt (Lightning)")
+    p.add_argument("--stage3_ckpt", type=str, default=None,
+                   help="reference stage3.ckpt (Lightning; the fidelity-"
+                        "enhancer weights + tau are imported)")
     p.add_argument("--fcn_ckpt", type=str, default=None,
                    help="reference fcn.ckpt (raw state_dict)")
     p.add_argument("--out_dir", type=str, required=True,
@@ -77,13 +83,18 @@ def main(argv=None):
                    help="class count for the stage-1 meta (taken from the "
                         "FCN head when --fcn_ckpt is given)")
     args = p.parse_args(argv)
-    if not args.stage1_ckpt and not args.fcn_ckpt:
-        p.error("nothing to do: pass --stage1_ckpt and/or --fcn_ckpt")
+    if not args.stage1_ckpt and not args.fcn_ckpt and not args.stage3_ckpt:
+        p.error("nothing to do: pass --stage1_ckpt, --stage3_ckpt "
+                "and/or --fcn_ckpt")
+    if args.stage3_ckpt and not args.stage1_ckpt:
+        p.error("--stage3_ckpt needs --stage1_ckpt in the same invocation "
+                "(the sampler reads the FE geometry from the stage-1 meta)")
 
     from tvqvae_tpu.config import Config
     from tvqvae_tpu.utils.checkpoint import save_checkpoint
     from tvqvae_tpu.utils.import_reference import (
         fcn_from_state_dict,
+        fe_from_state_dict,
         stage1_from_state_dict,
     )
 
@@ -161,6 +172,51 @@ def main(argv=None):
             "in_channels": inferred["in_channels"],
             "n_classes": int(n_classes),
             "imported_from": os.path.abspath(args.stage1_ckpt),
+        })
+        print(f"[import] wrote {out}")
+
+    if args.stage3_ckpt:
+        fe_params, tau, fe_inferred = fe_from_state_dict(
+            _load_torch(args.stage3_ckpt)
+        )
+        print(f"[import] stage3.ckpt: {fe_inferred}")
+        if fe_inferred["in_channels"] != inferred["in_channels"]:
+            raise SystemExit(
+                f"stage3: FE channels {fe_inferred['in_channels']} != "
+                f"stage-1 in_channels {inferred['in_channels']}"
+            )
+
+        import jax
+
+        from tvqvae_tpu.models.fidelity_enhancer import FidelityEnhancer
+
+        # GroupNorm group count is not recoverable from the weights —
+        # it must come from the config, like the reference's own FE
+        # reconstruction (sampler.py:95-108 rebuilds from config)
+        fe = FidelityEnhancer(
+            input_length=inferred["input_length"],
+            in_channels=inferred["in_channels"],
+            dim=cfg.fidelity_enhancer.dim,
+            dim_mults=tuple(cfg.fidelity_enhancer.dim_mults),
+            resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
+            dropout=cfg.fidelity_enhancer.dropout,
+        )
+        x0 = np.zeros(
+            (1, inferred["in_channels"], inferred["input_length"]), np.float32
+        )
+        fresh = fe.init(jax.random.key(0), x0, False)
+        _assert_same_tree(fe_params, fresh["params"], "stage3", fe_inferred)
+        out = os.path.join(args.out_dir, "stage3")
+        save_checkpoint(out, {
+            "params": fe_params,
+            "tau": np.asarray(tau, np.float32),
+            "step": np.asarray(0),
+        }, meta={
+            "config": dataclasses.asdict(cfg),
+            "input_length": inferred["input_length"],
+            "in_channels": inferred["in_channels"],
+            "tau": tau,
+            "imported_from": os.path.abspath(args.stage3_ckpt),
         })
         print(f"[import] wrote {out}")
 

@@ -24,21 +24,33 @@ reference Sequential indices:
 
 Not importable from the reference:
 
+  fidelity-enhancer stage3.ckpt import (``fe_from_state_dict``): the
+  Lightning stage-3 checkpoint's ``fidelity_enhancer.unet.*`` keys map onto
+  this repo's Unet1D auto-named flax tree (the walk order mirrors
+  tests/test_reference_transplant_fe_fcn.py::_convert_unet, which pins the
+  conversion to 5e-4 output agreement); the dead time-embedding MLPs
+  (reference :339-344 built, :417-464 never used) are skipped, and the SVQ
+  temperature buffer ``fidelity_enhancer.tau`` (:472) carries over into the
+  checkpoint's ``tau`` leaf.
+
+Not importable from the reference:
+
   - stage2.ckpt — the prior transformer body is x-transformers
     (bidirectional_transformer.py:92-110); its parameter naming is an
     external-library implementation detail we cannot verify without the
     package installed. Retrain stage 2 here (minutes at the published
     budget with the precomputed-token path).
-  - stage3.ckpt FE weights — the Unet1D mapping exists in test form
-    (test_reference_transplant_fe_fcn.py) but stage 3 retrains in minutes,
-    so the CLI does not expose it.
 """
 
 from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["stage1_from_state_dict", "fcn_from_state_dict"]
+__all__ = [
+    "stage1_from_state_dict",
+    "fcn_from_state_dict",
+    "fe_from_state_dict",
+]
 
 
 # --- tensor layout conversions (proven in the transplant tests) -----------
@@ -234,6 +246,134 @@ def stage1_from_state_dict(sd: Dict[str, np.ndarray]):
                            "hf": int(vq_h["embed"].shape[0])},
     }
     return params, stats, vq_l, vq_h, inferred
+
+
+def _chan_ln(sub: Dict[str, np.ndarray]) -> dict:
+    # reference LayerNorm (fidelity_enhancer.py:123-132): g is (1, C, 1)
+    return {"g": _np(sub["g"]).reshape(-1)}
+
+
+def _unet_block(sub: Dict[str, np.ndarray]) -> dict:
+    # Block (fidelity_enhancer.py:186-204): proj (WSConv) / norm (GN) / act
+    return {
+        "WSConv1d_0": _conv1d(_subtree(sub, "proj")),
+        "GroupNorm_0": {"scale": _np(sub["norm.weight"]),
+                        "bias": _np(sub["norm.bias"])},
+        "Snake_0": _snake(_subtree(sub, "act")),
+    }
+
+
+def _resnet_1d(sub: Dict[str, np.ndarray]) -> dict:
+    # ResnetBlock (fidelity_enhancer.py:207-231); mlp.* (time emb) is dead
+    # code — built with time_emb_dim but forward never passes time_emb
+    p = {
+        "UnetBlock_0": _unet_block(_subtree(sub, "block1")),
+        "UnetBlock_1": _unet_block(_subtree(sub, "block2")),
+    }
+    if "res_conv.weight" in sub:  # Identity when dim == dim_out
+        p["Conv_0"] = _conv1d(_subtree(sub, "res_conv"))
+    return p
+
+
+def _attn_residual(sub: Dict[str, np.ndarray], linear: bool):
+    """Residual(PreNorm(attn)) (fidelity_enhancer.py:77-84,134-142) ->
+    (_PreNormResidual params, attention params)."""
+    prenorm = {"ChanLayerNorm_0": _chan_ln(_subtree(sub, "fn.norm"))}
+    a = _subtree(sub, "fn.fn")
+    attn = {"Conv_0": {"kernel":
+                       _np(a["to_qkv.weight"]).transpose(2, 1, 0)}}
+    if linear:  # to_out = Sequential(Conv1d, LayerNorm) (:242)
+        attn["Conv_1"] = _conv1d(_subtree(a, "to_out.0"))
+        attn["ChanLayerNorm_0"] = _chan_ln(_subtree(a, "to_out.1"))
+    else:  # full attention: bare Conv1d to_out (:268)
+        attn["Conv_1"] = _conv1d(_subtree(a, "to_out"))
+    return prenorm, attn
+
+
+def fe_from_state_dict(sd: Dict[str, np.ndarray]):
+    """Reference stage3.ckpt state_dict -> (params, tau, inferred) matching
+    this repo's FidelityEnhancer tree ({"Unet1D_0": ...}, the layout
+    runner.train_stage3 checkpoints and TrainedModelSampler read).
+
+    Accepts the full Lightning Stage3 state_dict (frozen stage-2/metric
+    keys are ignored; only ``fidelity_enhancer.*`` is read) or an already
+    prefix-stripped FidelityEnhancer state_dict."""
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    if any(k.startswith("fidelity_enhancer.") for k in sd):
+        sd = _subtree(sd, "fidelity_enhancer")
+    tau = float(_np(sd["tau"]).reshape(-1)[0]) if "tau" in sd else 0.0
+    u = _subtree(sd, "unet")
+
+    downs = _children(_subtree(u, "downs"))
+    ups = _children(_subtree(u, "ups"))
+    if not downs or len(downs) != len(ups):
+        raise ValueError(
+            f"unexpected Unet1D layout: {len(downs)} downs vs {len(ups)} ups"
+        )
+
+    p: dict = {"Conv_0": _conv1d(_subtree(u, "init_conv"))}
+    ci = ri = ai = li = 0
+
+    def put_stage(sub, linear_attn: bool, conv_key: str):
+        """One down/up ModuleList entry: ResnetBlock, ResnetBlock,
+        Residual(PreNorm(attn)), conv (fidelity_enhancer.py:352-392)."""
+        nonlocal ci, ri, ai, li
+        for j in ("0", "1"):
+            p[f"ResnetBlock1d_{ri}"] = _resnet_1d(_subtree(sub, j))
+            ri += 1
+        prenorm, attn = _attn_residual(_subtree(sub, "2"), linear_attn)
+        p[f"_PreNormResidual_{ai}"] = prenorm
+        ai += 1
+        if linear_attn:
+            p[f"LinearAttention1d_{li}"] = attn
+            li += 1
+        else:
+            p["Attention1d_0"] = attn
+        ci += 1
+        p[f"Conv_{ci}"] = _conv1d(_subtree(sub, conv_key))
+
+    for i, sub in downs:
+        # Downsample is a bare Conv1d at index 3 (:87-95,368)
+        put_stage(sub, linear_attn=True, conv_key="3")
+
+    p[f"ResnetBlock1d_{ri}"] = _resnet_1d(_subtree(u, "mid_block1")); ri += 1
+    prenorm, attn = _attn_residual(_subtree(u, "mid_attn"), linear=False)
+    p[f"_PreNormResidual_{ai}"] = prenorm; ai += 1
+    p["Attention1d_0"] = attn
+    p[f"ResnetBlock1d_{ri}"] = _resnet_1d(_subtree(u, "mid_block2")); ri += 1
+
+    for i, sub in ups:
+        # Upsample is Sequential(Upsample, Conv1d) except the last, which
+        # is a bare Conv1d (:375-392)
+        key = "3.1" if "3.1.weight" in sub else "3"
+        put_stage(sub, linear_attn=True, conv_key=key)
+
+    ci += 1
+    p[f"Conv_{ci}"] = _conv1d(_subtree(u, "last_up.1"))
+    p[f"ResnetBlock1d_{ri}"] = _resnet_1d(_subtree(u, "final_res_block"))
+    for j in range(3):  # 1-3-3 output head (:399-415)
+        ci += 1
+        p[f"Conv_{ci}"] = _conv1d(_subtree(u, f"final_conv.{j}"))
+
+    init_conv = p["Conv_0"]["kernel"]  # (k, I, O)
+    dim = int(_np(u["final_conv.0.weight"]).shape[1])
+    if int(init_conv.shape[2]) != dim:
+        raise ValueError(
+            "init_dim != dim Unet1D configurations are not used by the "
+            f"reference config and are not supported (init_dim "
+            f"{init_conv.shape[2]}, dim {dim})"
+        )
+    inferred = {
+        "in_channels": int(init_conv.shape[1]),
+        "dim": dim,
+        # downs.{i}.3 is always a bare Conv1d(dim_in, dim_out) whose
+        # out-channels are dim * dim_mults[i] (:352-368)
+        "dim_mults": [int(_np(sub["3.weight"]).shape[0]) // dim
+                      for _, sub in downs],
+        "tau": tau,
+    }
+    return {"Unet1D_0": p}, tau, inferred
 
 
 def fcn_from_state_dict(sd: Dict[str, np.ndarray]):
