@@ -259,7 +259,8 @@ def _state_drain(box):
 
     return drain
 
-def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False):
+def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
+                 fast_bn=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -270,7 +271,7 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False):
     from tvqvae_tpu.utils import warmup_cosine_schedule
 
     spec = Stage1Spec.from_config(
-        cfg, L, C, compute_dtype=compute_dtype, remat=remat
+        cfg, L, C, compute_dtype=compute_dtype, remat=remat, fast_bn=fast_bn
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32
@@ -285,7 +286,8 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False):
 
 
 def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
-                 compute_dtype="float32", bundle=1, remat=False):
+                 compute_dtype="float32", bundle=1, remat=False,
+                 fast_bn=False):
     """Measures the per-step-dispatch training loop; with bundle > 1 ALSO
     measures the bundled lax.scan loop (runner `bundle_steps`).
 
@@ -302,7 +304,7 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
     from tvqvae_tpu.train import make_stage1_train_step  # noqa: F401
 
     spec, model, step, state, x = setup_stage1(
-        cfg, B, C, L, compute_dtype, remat=remat
+        cfg, B, C, L, compute_dtype, remat=remat, fast_bn=fast_bn
     )
     rng = jax.random.key(1)
 
@@ -770,6 +772,11 @@ def main():
                     help="checkpoint the stage-1 conv blocks (recompute in "
                          "backward) — probes the activation-traffic lever "
                          "on the memory-bound step (PERF.md roofline)")
+    ap.add_argument("--fast_bn", action="store_true",
+                    help="BatchNorm normalization arithmetic in the compute "
+                         "dtype with fp32-accumulated stats (removes the "
+                         "fp32 activation materialization around every BN "
+                         "under bf16; tests/test_fast_bn.py)")
     ap.add_argument("--tpu-wait", type=float,
                     default=float(__import__("os").environ.get(
                         "BENCH_TPU_WAIT", 1800.0)),
@@ -815,7 +822,8 @@ def main():
 
     dtype = "float32" if args.fp32 else "bfloat16"
     s1, spec, state = bench_stage1(cfg, compute_dtype=dtype,
-                                   bundle=args.bundle, remat=args.remat)
+                                   bundle=args.bundle, remat=args.remat,
+                                   fast_bn=args.fast_bn)
     gen = bench_generation(cfg, spec, state)
 
     sps = s1["steps_per_sec_p50"]
@@ -860,6 +868,8 @@ def main():
     extra["compute_dtype"] = dtype
     if args.remat:
         extra["remat"] = True
+    if args.fast_bn:
+        extra["fast_bn"] = True
     row = {
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),
@@ -873,7 +883,8 @@ def main():
         "vs_baseline": round(sps / BASELINE_STAGE1_STEPS_PER_SEC, 3),
         "extra": extra,
     }
-    if not args.fp32 and not args.remat and args.bundle == 1:
+    if not args.fp32 and not args.remat and not args.fast_bn \
+            and args.bundle == 1:
         _save_last_good(row)  # stale-fallback source for outage windows
     print(json.dumps(row))
 

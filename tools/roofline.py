@@ -116,12 +116,59 @@ def category(op, line):
     return op
 
 
+OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+
+
+def _computation_bodies(hlo_text: str):
+    """Map computation name -> body text (for fusion provenance lookup)."""
+    bodies = {}
+    for m in re.finditer(
+        r"\n%?([\w.\-]+)(?:\.clone)? \([^\n]*\) -> [^\n]*\{\n(.*?)\n\}",
+        hlo_text, re.S,
+    ):
+        bodies[m.group(1)] = m.group(2)
+    return bodies
+
+
+def _short_opname(p: str) -> str:
+    """Compress a jax op_name path to its informative tail (module path +
+    primitive), e.g. 'VQVAEEncoder_0/EncBlock2d_2/BatchNorm_0/reduce'."""
+    parts = [s for s in p.split("/") if s and not s.startswith("jit(")]
+    # drop autodiff wrappers that add noise but keep transpose() marker
+    tail = [s for s in parts if not s.startswith(("jvp(", "vmap("))]
+    keep = tail[-4:] if len(tail) > 4 else tail
+    return "/".join(keep)[-90:]
+
+
+def _provenance(line: str, bodies: dict, max_items: int = 3):
+    """For a fusion entry instruction, summarize which jax-level source ops
+    its fused computation contains (most-frequent op_name tails)."""
+    cm = re.search(r"calls=%?([\w.\-]+)", line)
+    names = []
+    if cm and cm.group(1) in bodies:
+        names = OPNAME_RE.findall(bodies[cm.group(1)])
+    if not names:  # fall back to the instruction's own metadata
+        names = OPNAME_RE.findall(line)
+    counts = {}
+    for n in names:
+        s = _short_opname(n)
+        counts[s] = counts.get(s, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: -kv[1])
+    return [f"{k} x{v}" if v > 1 else k for k, v in ranked[:max_items]]
+
+
+def _result_shape_str(shape_field: str) -> str:
+    """Strip layouts for compact display of the result shape."""
+    return re.sub(r"\{[^}]*\}", "", shape_field).strip()[:48]
+
+
 def analyze_entry(hlo_text: str, top: int = 40):
     # entry computation: after "ENTRY " until its closing brace
     m = re.search(r"\nENTRY [^\n]*\{\n(.*?)\n\}", hlo_text, re.S)
     if not m:
         raise SystemExit("no ENTRY computation found")
     body = m.group(1)
+    bodies = _computation_bodies(hlo_text)
     # map name -> result shape string (for operand lookup)
     shapes = {}
     rows = []
@@ -157,6 +204,8 @@ def analyze_entry(hlo_text: str, top: int = 40):
             "result": res_pa, "operands": op_pa,
             "total": res_pa + op_pa,
             "total_logical": res_lo + op_lo,
+            "shape": _result_shape_str(im.group("shape")),
+            "prov": _provenance(line, bodies),
         })
     rows.sort(key=lambda r: -r["total"])
     total_pa = sum(r["total"] for r in rows)
@@ -238,6 +287,8 @@ def main():
                          "the production precomputed paths)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint conv blocks — compare traffic vs plain")
+    ap.add_argument("--fast_bn", action="store_true",
+                    help="compute-dtype BN normalization — compare traffic")
     ap.add_argument("--hlo_out", default="",
                     help="also dump the optimized HLO text here")
     ap.add_argument("--cpu", action="store_true",
@@ -265,7 +316,8 @@ def main():
     else:
         B = args.batch or 32
         spec, model, step, state, x = setup_stage1(
-            cfg, B, 4, 4633, compute_dtype=dtype, remat=args.remat
+            cfg, B, 4, 4633, compute_dtype=dtype, remat=args.remat,
+            fast_bn=args.fast_bn,
         )
         rng = jax.random.key(1)
         compiled = step.lower(state, x, rng).compile()
@@ -280,6 +332,7 @@ def main():
     print(json.dumps({
         "stage": args.stage,
         "batch": B, "dtype": dtype, "remat": bool(args.remat),
+        "fast_bn": bool(args.fast_bn),
         "xla_cost_bytes_gb": round((nbytes or 0) / 1e9, 2),
         "entry_traffic_logical_gb": round(total_lo / 1e9, 2),
         "entry_traffic_padded_gb": round(total_pa / 1e9, 2),
@@ -291,11 +344,12 @@ def main():
     for c, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"{c:28s} {v/1e9:8.2f}  ({v/total_pa*100:4.1f}%)")
     print(f"\n-- top {args.top} instructions by padded traffic --")
-    print(f"{'MB':>9} {'pad/log':>7}  {'category':24s} name")
+    print(f"{'MB':>9} {'pad/log':>7}  {'category':24s} name | result | provenance")
     for r in rows:
         ratio = r["total"] / max(r["total_logical"], 1)
+        prov = "; ".join(r.get("prov") or [])
         print(f"{r['total']/1e6:9.1f} {ratio:7.2f}  {r['cat']:24s} "
-              f"{r['op']}:{r['name'][:60]}")
+              f"{r['op']}:{r['name'][:40]} | {r.get('shape','')} | {prov}")
 
 
 if __name__ == "__main__":

@@ -72,7 +72,67 @@ class ConvTranspose2dTorch(nn.Module):
         return out + bias.astype(self.dtype)
 
 
-def batch_norm(train: bool) -> nn.BatchNorm:
+class BatchNorm(nn.Module):
+    """BatchNorm with fp32-accumulated statistics and normalization
+    arithmetic in the INPUT dtype — no fp32 materialization of activations.
+
+    Why: flax's nn.BatchNorm promotes activations to fp32, so under bf16
+    compute every BN materializes a full fp32 copy of a (B, 3, 4634, C)
+    activation (~228 MB at C=128) — the roofline's multiply_add fusions,
+    ~3.4 GB/step of pure conversion traffic on the memory-bound stage-1
+    step (PERF.md). This version computes mean / E[x^2] with fp32
+    accumulators directly over the bf16 input (XLA fuses the converts into
+    the reduces) and folds (scale, bias, mean, var) into a per-channel
+    y = x*w + b evaluated in the input dtype.
+
+    Tree-compatible with flax nn.BatchNorm: the class is deliberately NAMED
+    "BatchNorm" so flax auto-naming yields the same "BatchNorm_N" paths, with
+    the same scale/bias params and batch_stats mean/var leaves (all fp32) and
+    the same EMA update rule (biased variance, flax momentum convention), so
+    checkpoints swap freely between the two implementations
+    (tests/test_fast_bn.py).
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            # fp32-accumulated reduces over the (possibly bf16) input; the
+            # astype fuses into the reduce inputs, nothing fp32 is stored
+            mean = jnp.mean(x.astype(jnp.float32), axis=red)
+            mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=red)
+            var = mean2 - jnp.square(mean)  # flax's biased E[x^2]-E[x]^2
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        w = scale * jax.lax.rsqrt(var + self.epsilon)  # fp32, per-channel
+        b = bias - mean * w
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+def batch_norm(train: bool, fast: bool = False) -> nn.Module:
+    """`fast=True` selects the traffic-lean BatchNorm above (normalization in
+    the input dtype); default is flax's fp32-promoting implementation, kept
+    as the parity-pinned legacy path."""
+    if fast:
+        return BatchNorm(use_running_average=not train)
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
 
 
@@ -87,6 +147,7 @@ class ResBlock2d(nn.Module):
     frequency_independence: bool
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fast_bn: bool = False  # normalize in compute dtype (stats stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -98,8 +159,11 @@ class ResBlock2d(nn.Module):
         h = Snake(in_ch)(x)
         h = nn.Conv(self.out_channels, ksize, dtype=self.dtype,
                     padding=[(pad[0], pad[0]), (pad[1], pad[1])])(h)
-        # BatchNorm statistics in fp32 regardless of compute dtype
-        h = batch_norm(train)(h.astype(jnp.float32)).astype(self.dtype)
+        if self.fast_bn:
+            h = batch_norm(train, fast=True)(h)
+        else:
+            # BatchNorm statistics in fp32 regardless of compute dtype
+            h = batch_norm(train)(h.astype(jnp.float32)).astype(self.dtype)
         h = Snake(self.out_channels)(h)
         h = nn.Conv(self.out_channels, ksize, dtype=self.dtype,
                     padding=[(pad[0], pad[0]), (pad[1], pad[1])])(h)
@@ -118,6 +182,7 @@ class EncBlock2d(nn.Module):
     frequency_independence: bool
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fast_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -130,7 +195,10 @@ class EncBlock2d(nn.Module):
         )
         x = nn.Conv(self.out_channels, ksize, strides=(1, 2), padding="VALID",
                     dtype=self.dtype)(x)
-        x = batch_norm(train)(x.astype(jnp.float32)).astype(self.dtype)
+        if self.fast_bn:
+            x = batch_norm(train, fast=True)(x)
+        else:
+            x = batch_norm(train)(x.astype(jnp.float32)).astype(self.dtype)
         x = Snake(self.out_channels)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -144,6 +212,7 @@ class DecBlock2d(nn.Module):
     frequency_independence: bool
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fast_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -151,7 +220,10 @@ class DecBlock2d(nn.Module):
         pad = (0, 1) if self.frequency_independence else (1, 1)
         x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad,
                                  dtype=self.dtype)(x)
-        x = batch_norm(train)(x.astype(jnp.float32)).astype(self.dtype)
+        if self.fast_bn:
+            x = batch_norm(train, fast=True)(x)
+        else:
+            x = batch_norm(train)(x.astype(jnp.float32)).astype(self.dtype)
         x = Snake(self.out_channels)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

@@ -69,12 +69,16 @@ class Stage1Spec:
     # recompute FLOPs for saved activation HBM traffic on the memory-bound
     # stage-1 step (PERF.md roofline). Numerics pinned by tests/test_remat.py.
     remat: bool = False
+    # BN normalization arithmetic in compute_dtype (fp32-accumulated stats):
+    # removes the fp32 activation materialization around every BN under bf16
+    # (tests/test_fast_bn.py pins equivalence).
+    fast_bn: bool = False
 
     @staticmethod
     def from_config(
         cfg: Config, input_length: int, in_channels: int,
         use_pallas: bool = False, compute_dtype: str = "float32",
-        remat: bool = False,
+        remat: bool = False, fast_bn: bool = False,
     ) -> "Stage1Spec":
         g_l = token_geometry(
             input_length, cfg.vqvae.n_fft, cfg.encoder.downsampled_width["lf"]
@@ -113,6 +117,7 @@ class Stage1Spec:
             dropout_dec=cfg.decoder.dropout,
             compute_dtype=compute_dtype,
             remat=remat,
+            fast_bn=fast_bn,
         )
 
 
@@ -137,21 +142,23 @@ class Stage1Model(nn.Module):
         self.encoder_l = VQVAEEncoder(
             s.init_dim, s.hid_dim, s.halvings_l, s.n_resnet_blocks_enc,
             dropout=s.dropout_enc, dtype=dt, remat=s.remat,
+            fast_bn=s.fast_bn,
         )
         self.encoder_h = VQVAEEncoder(
             s.init_dim, s.hid_dim, s.halvings_h, s.n_resnet_blocks_enc,
             dropout=s.dropout_enc, dtype=dt, remat=s.remat,
+            fast_bn=s.fast_bn,
         )
         spectral_ch = 2 * s.in_channels
         self.decoder_l = VQVAEDecoder(
             s.init_dim, s.hid_dim, spectral_ch, s.halvings_l,
             s.n_resnet_blocks_dec, dropout=s.dropout_dec, dtype=dt,
-            remat=s.remat,
+            remat=s.remat, fast_bn=s.fast_bn,
         )
         self.decoder_h = VQVAEDecoder(
             s.init_dim, s.hid_dim, spectral_ch, s.halvings_h,
             s.n_resnet_blocks_dec, dropout=s.dropout_dec, dtype=dt,
-            remat=s.remat,
+            remat=s.remat, fast_bn=s.fast_bn,
         )
         self.head_l = TimeHead(s.input_length)
         self.head_h = TimeHead(s.input_length)

@@ -64,26 +64,28 @@ class VQVAEEncoder(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.float32  # compute dtype for the conv stack (params fp32)
     remat: bool = False  # checkpoint each block (recompute in backward)
+    fast_bn: bool = False  # BN normalization in compute dtype (stats fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mk = _BlockFactory(self.remat)
         d = self.init_dim
         x = mk(EncBlock2d, d, self.frequency_independence,
-               dtype=self.dtype)(x, train)
+               dtype=self.dtype, fast_bn=self.fast_bn)(x, train)
         d *= 2
         for _ in range(self.num_halvings - 1):
             x = mk(EncBlock2d, d, self.frequency_independence,
-                   dtype=self.dtype)(x, train)
+                   dtype=self.dtype, fast_bn=self.fast_bn)(x, train)
             for _ in range(self.n_resnet_blocks):
                 x = mk(
                     ResBlock2d, d, self.frequency_independence,
                     dropout=self.dropout, dtype=self.dtype,
+                    fast_bn=self.fast_bn,
                 )(x, train)
             d *= 2
         x = mk(
             ResBlock2d, self.hid_dim, self.frequency_independence,
-            dropout=self.dropout, dtype=self.dtype,
+            dropout=self.dropout, dtype=self.dtype, fast_bn=self.fast_bn,
         )(x, train)
         return x.astype(jnp.float32)  # VQ distances always fp32
 
@@ -101,6 +103,7 @@ class VQVAEDecoder(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.float32
     remat: bool = False  # checkpoint each block (recompute in backward)
+    fast_bn: bool = False  # BN normalization in compute dtype (stats fp32)
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -111,16 +114,18 @@ class VQVAEDecoder(nn.Module):
         pad = (0, 1) if self.frequency_independence else (1, 1)
 
         x = mk(ResBlock2d, d, self.frequency_independence,
-               dropout=self.dropout, dtype=self.dtype)(z, train)
+               dropout=self.dropout, dtype=self.dtype,
+               fast_bn=self.fast_bn)(z, train)
         for _ in range(k - 1):
             for _ in range(self.n_resnet_blocks):
                 x = mk(
                     ResBlock2d, d, self.frequency_independence,
                     dropout=self.dropout, dtype=self.dtype,
+                    fast_bn=self.fast_bn,
                 )(x, train)
             d //= 2
             x = mk(DecBlock2d, d, self.frequency_independence,
-                   dtype=self.dtype)(x, train)
+                   dtype=self.dtype, fast_bn=self.fast_bn)(x, train)
         x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad,
                                  dtype=self.dtype)(x)
         x = ConvTranspose2dTorch(self.out_channels, ksize, (1, 2), pad,

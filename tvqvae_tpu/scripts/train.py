@@ -45,6 +45,10 @@ def build_argparser():
                    help="stage-1: checkpoint conv blocks (recompute in "
                         "backward) — trades cheap FLOPs for activation HBM "
                         "traffic on the memory-bound step")
+    p.add_argument("--fast_bn", action="store_true",
+                   help="stage-1 BatchNorm normalization in the compute "
+                        "dtype (fp32-accumulated stats) — removes fp32 "
+                        "activation materialization under --bf16")
     p.add_argument("--rbg_rng", action="store_true",
                    help="stage-1: use XLA's cheap counter-based (rbg) "
                         "generator for the training rng (dropout masks) "
@@ -124,6 +128,7 @@ def main(argv=None):
                     data_on_device=not args.host_data,
                     remat=args.remat,
                     rng_impl="rbg" if args.rbg_rng else None,
+                    fast_bn=args.fast_bn,
                 )
             elif stage == "2":
                 runner.train_stage2(

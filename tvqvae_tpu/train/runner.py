@@ -284,6 +284,7 @@ def train_stage1(
     data_on_device: bool = True,
     remat: bool = False,
     rng_impl: Optional[str] = None,
+    fast_bn: bool = False,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
@@ -291,7 +292,7 @@ def train_stage1(
 
     spec = Stage1Spec.from_config(
         cfg, data.input_length, data.in_channels, use_pallas=use_pallas,
-        compute_dtype=compute_dtype, remat=remat,
+        compute_dtype=compute_dtype, remat=remat, fast_bn=fast_bn,
     )
     x0 = jnp.asarray(data.X_train[:batch_size])
     model, params, batch_stats, vq_l, vq_h = init_stage1(
