@@ -44,16 +44,23 @@ class TrainedModelSampler:
         use_fidelity_enhancer: bool = False,
         batch_size: int = 32,
         mesh=None,
+        compute_dtype: str = "float32",
+        fast_bn: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh — generation fans out over its
-        `data` axis (batch_size must divide by the mesh size)."""
+        `data` axis (batch_size must divide by the mesh size).
+        `compute_dtype="bfloat16"` runs the frozen conv stacks (and the FE
+        U-Net) in bf16 — the decode pipeline is HBM-bound like training, so
+        this halves its activation traffic; params stay fp32."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.use_fe = use_fidelity_enhancer
         self.mesh = mesh
+        self.compute_dtype = compute_dtype
 
         self.stage1_model, self.frozen, self.s1_spec, meta = (
-            load_stage1_bundle(cfg, stage1_ckpt)
+            load_stage1_bundle(cfg, stage1_ckpt,
+                               compute_dtype=compute_dtype, fast_bn=fast_bn)
         )
         self.input_length = int(meta["input_length"])
         self.in_channels = int(meta["in_channels"])
@@ -79,6 +86,7 @@ class TrainedModelSampler:
                 dim_mults=tuple(cfg.fidelity_enhancer.dim_mults),
                 resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
                 dropout=cfg.fidelity_enhancer.dropout,
+                compute_dtype=compute_dtype,
             )
             self._fe_params = tree3["params"]
             self.tau = float(np.asarray(tree3.get("tau", 0.0)))

@@ -123,6 +123,11 @@ def main(argv=None):
                    help="default: size of the real dataset")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="run the frozen decode conv stacks (and FE) in "
+                        "bfloat16 — halves decode HBM traffic")
+    p.add_argument("--fast_bn", action="store_true",
+                   help="BN normalization in the compute dtype (see train)")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
@@ -133,9 +138,10 @@ def main(argv=None):
     n = args.n_samples or (len(data.X_train) + len(data.X_test))
 
     # run twice like the reference (generate.py:148-156): raw, then FE
+    dt = "bfloat16" if args.bf16 else "float32"
     sampler = TrainedModelSampler(
         cfg, os.path.join(ckpt, "stage1"), os.path.join(ckpt, "stage2"),
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, compute_dtype=dt, fast_bn=args.fast_bn,
     )
     generate_synthetic_data(
         cfg, sampler, data, n, args.synthetic_save_dir,
@@ -147,6 +153,7 @@ def main(argv=None):
         sampler_fe = TrainedModelSampler(
             cfg, os.path.join(ckpt, "stage1"), os.path.join(ckpt, "stage2"),
             stage3, use_fidelity_enhancer=True, batch_size=args.batch_size,
+            compute_dtype=dt, fast_bn=args.fast_bn,
         )
         generate_synthetic_data(
             cfg, sampler_fe, data, n, args.synthetic_fidelity_dir,

@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--warm_classes", action="store_true",
                    help="also pre-compile the per-class conditional programs")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="serve with bfloat16 decode conv stacks (and FE)")
+    p.add_argument("--fast_bn", action="store_true",
+                   help="BN normalization in the compute dtype")
     p.add_argument("--data_parallel", action="store_true",
                    help="fan generation out over all local devices via a "
                         "1-D data mesh (batch_size must divide the device "
@@ -72,6 +76,8 @@ def main(argv=None):
         use_fidelity_enhancer=args.use_fe,
         batch_size=args.batch_size,
         mesh=mesh,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        fast_bn=args.fast_bn,
     )
     service = GenerationService(
         sampler,

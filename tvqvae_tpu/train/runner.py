@@ -86,12 +86,17 @@ def config_meta(cfg: Config, data: DatasetSplits) -> dict:
 # stage-1 artifact loading (used by stages 2/3 + sampler)
 
 
-def load_stage1_bundle(cfg: Config, stage1_ckpt: str, use_pallas: bool = False):
-    """-> (Stage1Model, FrozenStage1, Stage1Spec, meta)."""
+def load_stage1_bundle(cfg: Config, stage1_ckpt: str, use_pallas: bool = False,
+                       compute_dtype: str = "float32", fast_bn: bool = False):
+    """-> (Stage1Model, FrozenStage1, Stage1Spec, meta).
+
+    `compute_dtype`/`fast_bn` set the INFERENCE compute mode of the loaded
+    conv stacks (params stay fp32 in the checkpoint; bf16 halves decode HBM
+    traffic — the generation pipeline is memory-bound like training)."""
     tree, meta = load_checkpoint(stage1_ckpt)
     spec = Stage1Spec.from_config(
         cfg, int(meta["input_length"]), int(meta["in_channels"]),
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, compute_dtype=compute_dtype, fast_bn=fast_bn,
     )
     model = Stage1Model(spec)
     frozen = FrozenStage1(
