@@ -318,9 +318,11 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
 
     for _ in range(warmup):
         state, m = step(state, x, rng)
-    jax.block_until_ready(m)
-
     box = [state]
+    # end warmup with a REAL drain: block_until_ready lies on this backend,
+    # so without this the first timed chunk absorbs the step compile + the
+    # warmup backlog (observed: chunk-1 at 0.23 steps/s wrecking p10)
+    _state_drain(box)()
 
     def one():
         box[0], mm = step(box[0], x, rng)
@@ -354,7 +356,7 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
         )
         for _ in range(max(warmup // bundle, 3)):
             box[0], m = mstep(box[0], xs, rng)
-        jax.block_until_ready(m)
+        _state_drain(box)()  # true warmup completion (see per-step note)
 
         def one_bundle():
             box[0], mm = mstep(box[0], xs, rng)
@@ -421,7 +423,8 @@ def bench_generation(cfg, spec, state, GB=256, chunks=7, chunk=6):
         # un-fakeable device->host value fetch (see _chunk_rates docstring)
         return float(jnp.sum(jax.tree.leaves(out_box[0])[0][:2]))
 
-    jax.block_until_ready(one())  # compile
+    one()
+    drain()  # true compile+warmup completion (block_until_ready lies here)
     rates = _chunk_rates(one, chunks, chunk, unit_per_call=GB, drain=drain)
     return {
         "traj_per_sec_p50": float(np.percentile(rates, 50)),
@@ -450,10 +453,10 @@ def bench_batch_sweep(cfg, C=4, L=4633, compute_dtype="bfloat16"):
             )
             rng = jax.random.key(1)
             flops, _ = _cost_analysis(step.lower(state, x, rng).compile())
-            for _ in range(10):
-                state, m = step(state, x, rng)
-            jax.block_until_ready(m)
             box = [state]
+            for _ in range(10):
+                box[0], m = step(box[0], x, rng)
+            _state_drain(box)()  # true warmup completion
 
             def one():
                 box[0], mm = step(box[0], x, rng)
@@ -548,7 +551,7 @@ def bench_train_loop(cfg, B=32, C=4, L=4633, n_data=1024, steps=120):
     for _ in range(5):
         xb, _ = next(batches)
         state, m = step(state, xb, rng)
-    jax.block_until_ready(m)
+    float(jnp.sum(jax.tree.leaves(state.params)[0]))  # true warmup completion
     timer = StepTimer()
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -600,8 +603,8 @@ def bench_stage2(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10):
 
     for _ in range(warmup):
         state, m = step(state, frozen, x, y, rng)
-    jax.block_until_ready(m)
     box = [state]
+    _state_drain(box)()  # true warmup completion (see bench_stage1 note)
 
     def one():
         box[0], mm = step(box[0], frozen, x, y, rng)
@@ -663,8 +666,8 @@ def bench_stage3(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10,
 
     for _ in range(warmup):
         state, m = step(state, frozen, x, rng)
-    jax.block_until_ready(m)
     box = [state]
+    _state_drain(box)()  # true warmup completion (see bench_stage1 note)
 
     def one():
         box[0], mm = step(box[0], frozen, x, rng)
