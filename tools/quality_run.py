@@ -44,6 +44,10 @@ evaluation:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/qr")
+    ap.add_argument("--fast_bn", action="store_true",
+                    help="stage-1 BN normalization in the compute dtype "
+                         "(the --fast_bn training lever; quality gate for "
+                         "flipping its default)")
     ap.add_argument("--bf16", action="store_true",
                     help="train the stage-1 conv stacks in bfloat16")
     ap.add_argument("--ess", action="store_true",
@@ -83,6 +87,8 @@ def main():
         ]
         if args.bf16:
             argv.append("--bf16")
+        if args.fast_bn:
+            argv.append("--fast_bn")
         train_main(argv)
     train_minutes = (time.time() - t0) / 60.0
     print(json.dumps({"train_minutes": round(train_minutes, 1),
@@ -168,6 +174,7 @@ def main():
 
     res["train_minutes"] = train_minutes
     res["bf16"] = args.bf16
+    res["fast_bn"] = args.fast_bn
     print("SUMMARY " + json.dumps(
         {k: (round(float(v), 5) if isinstance(v, (int, float)) and
              not isinstance(v, bool) else v) for k, v in res.items()}
