@@ -628,7 +628,7 @@ def bench_stage2(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10):
 
 
 def bench_stage3(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10,
-                 compute_dtype="float32"):
+                 compute_dtype="float32", fast_norm=False):
     """Stage-3 (fidelity enhancer) training step at the published config
     (batch_sizes.stage3=16): frozen SVQ roundtrip -> U-Net FE -> L1 -> AdamW."""
     import jax
@@ -655,6 +655,7 @@ def bench_stage3(cfg, B=16, C=4, L=4633, warmup=10, chunks=5, chunk=10,
         resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
         dropout=cfg.fidelity_enhancer.dropout,
         compute_dtype=compute_dtype,
+        fast_norm=fast_norm,
     )
     x = jnp.asarray(np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32)
     params = init_stage3(jax.random.key(3), fe, x)
@@ -818,8 +819,10 @@ def main():
         return
     if args.stage3:
         s3_dtype = "float32" if args.fp32 else "bfloat16"
-        out3 = bench_stage3(cfg, compute_dtype=s3_dtype)
+        out3 = bench_stage3(cfg, compute_dtype=s3_dtype,
+                            fast_norm=args.fast_bn)
         out3["compute_dtype"] = s3_dtype
+        out3["fast_norm"] = args.fast_bn
         print(json.dumps(out3))
         return
 

@@ -163,3 +163,60 @@ def test_stage1_step_fast_bn_equivalent_fp32(dtype):
                     jax.tree_util.tree_leaves(s_on.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# fast GroupNorm (stage-3 analogue; models/layers.py GroupNorm)
+
+
+def test_fast_group_norm_matches_flax_fp32():
+    from tvqvae_tpu.models.layers import GroupNorm
+
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(3, 29, 16)) * 1.7,
+                    jnp.float32)
+    scale = jnp.asarray(np.random.default_rng(9).normal(size=(16,)),
+                        jnp.float32)
+    bias = jnp.asarray(np.random.default_rng(10).normal(size=(16,)),
+                       jnp.float32)
+    variables = {"params": {"scale": scale, "bias": bias}}
+    y_f = GroupNorm(num_groups=4, epsilon=1e-5).apply(variables, x)
+    y_r = nn.GroupNorm(num_groups=4, epsilon=1e-5).apply(variables, x)
+    np.testing.assert_allclose(y_f, y_r, rtol=3e-5, atol=3e-5)
+
+
+def test_fast_group_norm_bf16_close():
+    from tvqvae_tpu.models.layers import GroupNorm
+
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(2, 33, 8)),
+                    jnp.bfloat16)
+    variables = GroupNorm(num_groups=2).init(jax.random.key(0), x)
+    y_f = GroupNorm(num_groups=2, epsilon=1e-5).apply(variables, x)
+    y_r = nn.GroupNorm(num_groups=2, epsilon=1e-5).apply(
+        variables, x.astype(jnp.float32))
+    assert y_f.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y_f, np.float32),
+                               np.asarray(y_r, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_fe_fast_norm_equivalent_fp32():
+    """FidelityEnhancer with fast_norm ON == OFF at fp32 (same params)."""
+    from tvqvae_tpu.models.fidelity_enhancer import FidelityEnhancer
+
+    x = jnp.asarray(np.random.default_rng(12).normal(size=(2, 4, 48)),
+                    jnp.float32)
+    fe_off = FidelityEnhancer(input_length=48, in_channels=4, dim=8,
+                              dim_mults=(1, 2), resnet_block_groups=4,
+                              dropout=0.0)
+    fe_on = FidelityEnhancer(input_length=48, in_channels=4, dim=8,
+                             dim_mults=(1, 2), resnet_block_groups=4,
+                             dropout=0.0, fast_norm=True)
+    v = fe_off.init(jax.random.key(0), x)
+    v_on = fe_on.init(jax.random.key(0), x)
+    # identical trees -> checkpoints swap between modes
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(v_on)
+    y_off = fe_off.apply(v, x, False)
+    y_on = fe_on.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=2e-4, atol=2e-5)

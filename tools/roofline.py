@@ -246,7 +246,7 @@ def _compile_stage2_tokens(cfg, B):
     return step.lower(state, s_l, s_h, y, jax.random.key(1)).compile()
 
 
-def _compile_stage3_pre(cfg, B, compute_dtype="float32"):
+def _compile_stage3_pre(cfg, B, compute_dtype="float32", fast_norm=False):
     """Compile the PRODUCTION stage-3 step (precomputed-x' path)."""
     import jax
     import jax.numpy as jnp
@@ -267,6 +267,7 @@ def _compile_stage3_pre(cfg, B, compute_dtype="float32"):
         resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
         dropout=cfg.fidelity_enhancer.dropout,
         compute_dtype=compute_dtype,
+        fast_norm=fast_norm,
     )
     x = jnp.zeros((B, C, L), jnp.float32)
     params = init_stage3(jax.random.key(3), fe, x)
@@ -312,7 +313,8 @@ def main():
         compiled = _compile_stage2_tokens(cfg, B)
     elif args.stage == 3:
         B = args.batch or 16
-        compiled = _compile_stage3_pre(cfg, B, compute_dtype=dtype)
+        compiled = _compile_stage3_pre(cfg, B, compute_dtype=dtype,
+                                       fast_norm=args.fast_bn)
     else:
         B = args.batch or 32
         spec, model, step, state, x = setup_stage1(

@@ -87,6 +87,7 @@ class TrainedModelSampler:
                 resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
                 dropout=cfg.fidelity_enhancer.dropout,
                 compute_dtype=compute_dtype,
+                fast_norm=fast_bn,
             )
             self._fe_params = tree3["params"]
             self.tau = float(np.asarray(tree3.get("tau", 0.0)))

@@ -85,14 +85,20 @@ class UnetBlock(nn.Module):
     groups: int = 8
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fast_norm: bool = False  # GN normalization in compute dtype (stats fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = WSConv1d(self.features, dtype=self.dtype)(x)
-        # epsilon 1e-5 matches torch nn.GroupNorm (flax default is 1e-6)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(
-            x.astype(jnp.float32)
-        ).astype(self.dtype)
+        if self.fast_norm:
+            from .layers import GroupNorm as FastGroupNorm
+
+            x = FastGroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        else:
+            # epsilon 1e-5 matches torch nn.GroupNorm (flax default 1e-6)
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(
+                x.astype(jnp.float32)
+            ).astype(self.dtype)
         x = Snake(self.features)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -103,13 +109,14 @@ class ResnetBlock1d(nn.Module):
     groups: int = 8
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = UnetBlock(self.features, self.groups, self.dropout,
-                      dtype=self.dtype)(x, train)
+                      dtype=self.dtype, fast_norm=self.fast_norm)(x, train)
         h = UnetBlock(self.features, self.groups, self.dropout,
-                      dtype=self.dtype)(h, train)
+                      dtype=self.dtype, fast_norm=self.fast_norm)(h, train)
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1,), dtype=self.dtype)(x)
         return x.astype(self.dtype) + h
@@ -182,6 +189,7 @@ class Unet1D(nn.Module):
     resnet_block_groups: int = 8
     dropout: float = 0.0
     dtype: Any = jnp.float32  # stream compute dtype (params/norm stats fp32)
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -196,9 +204,9 @@ class Unet1D(nn.Module):
 
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
-            x = ResnetBlock1d(dim_in, g, p, dtype=dt)(x, train)
+            x = ResnetBlock1d(dim_in, g, p, dtype=dt, fast_norm=self.fast_norm)(x, train)
             skips.append(x)
-            x = ResnetBlock1d(dim_in, g, p, dtype=dt)(x, train)
+            x = ResnetBlock1d(dim_in, g, p, dtype=dt, fast_norm=self.fast_norm)(x, train)
             x = _PreNormResidual(LinearAttention1d())(x)
             skips.append(x)
             if not is_last:
@@ -208,9 +216,9 @@ class Unet1D(nn.Module):
                 x = nn.Conv(dim_out, (3,), padding=[(1, 1)], dtype=dt)(x)
 
         mid = dims[-1]
-        x = ResnetBlock1d(mid, g, p, dtype=dt)(x, train)
+        x = ResnetBlock1d(mid, g, p, dtype=dt, fast_norm=self.fast_norm)(x, train)
         x = _PreNormResidual(Attention1d())(x)
-        x = ResnetBlock1d(mid, g, p, dtype=dt)(x, train)
+        x = ResnetBlock1d(mid, g, p, dtype=dt, fast_norm=self.fast_norm)(x, train)
 
         def resize_cat(x, skip):
             skip = jnp.swapaxes(
@@ -221,9 +229,9 @@ class Unet1D(nn.Module):
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             x = resize_cat(x, skips.pop())
-            x = ResnetBlock1d(dim_out, g, p, dtype=dt)(x, train)
+            x = ResnetBlock1d(dim_out, g, p, dtype=dt, fast_norm=self.fast_norm)(x, train)
             x = resize_cat(x, skips.pop())
-            x = ResnetBlock1d(dim_out, g, p, dtype=dt)(x, train)
+            x = ResnetBlock1d(dim_out, g, p, dtype=dt, fast_norm=self.fast_norm)(x, train)
             x = _PreNormResidual(LinearAttention1d())(x)
             if not is_last:
                 # nearest-2x + k3 conv upsample
@@ -244,7 +252,7 @@ class Unet1D(nn.Module):
             interp_linear(jnp.swapaxes(x, 1, 2), r.shape[1]), 1, 2
         )
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock1d(self.dim, g, p, dtype=dt)(x, train)
+        x = ResnetBlock1d(self.dim, g, p, dtype=dt, fast_norm=self.fast_norm)(x, train)
 
         # output head: k1 conv then two k3 replicate-padded convs (:399-415)
         # — always fp32 (the head writes the final C=4 trajectory)
@@ -270,6 +278,9 @@ class FidelityEnhancer(nn.Module):
     # the stage-3 step's ~20 GB activation traffic (memory-bound,
     # tools/roofline.py --stage 3).
     compute_dtype: str = "float32"
+    # GroupNorm normalization in compute_dtype (fp32-accumulated stats) —
+    # the stage-3 analogue of the stage-1 fast_bn lever.
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -282,5 +293,6 @@ class FidelityEnhancer(nn.Module):
             resnet_block_groups=self.resnet_block_groups,
             dropout=self.dropout,
             dtype=jnp.dtype(self.compute_dtype),
+            fast_norm=self.fast_norm,
         )(x, train)
         return jnp.swapaxes(x, 1, 2).astype(jnp.float32)  # (B, C, L)

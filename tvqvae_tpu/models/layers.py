@@ -127,6 +127,39 @@ class BatchNorm(nn.Module):
         return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32-accumulated statistics and normalization
+    arithmetic in the INPUT dtype — the GroupNorm analogue of the fast
+    BatchNorm above (flax nn.GroupNorm would promote the activation to
+    fp32; the stage-3 U-Net wraps every conv in one). Tree-compatible with
+    flax nn.GroupNorm (class name kept "GroupNorm" -> same "GroupNorm_N"
+    paths, same scale/bias leaves, biased variance)."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        g = self.num_groups
+        cg = feat // g
+        scale = self.param("scale", nn.initializers.ones_init(), (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (feat,),
+                          jnp.float32)
+        B = x.shape[0]
+        xg = x.reshape(B, -1, g, cg)
+        mean = jnp.mean(xg.astype(jnp.float32), axis=(1, 3))      # (B, g)
+        mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
+        var = mean2 - jnp.square(mean)
+        inv = jax.lax.rsqrt(var + self.epsilon)                   # (B, g)
+        w = jnp.repeat(inv, cg, axis=1) * scale[None, :]          # (B, feat)
+        b = bias[None, :] - jnp.repeat(mean, cg, axis=1) * w
+        shape = (B,) + (1,) * (x.ndim - 2) + (feat,)
+        return (x * w.reshape(shape).astype(x.dtype)
+                + b.reshape(shape).astype(x.dtype))
+
+
 def batch_norm(train: bool, fast: bool = False) -> nn.Module:
     """`fast=True` selects the traffic-lean BatchNorm above (normalization in
     the input dtype); default is flax's fp32-promoting implementation, kept

@@ -169,6 +169,7 @@ def main(argv=None):
                     precompute=not args.no_precompute,
                     bundle_steps=args.bundle_steps,
                     compute_dtype="bfloat16" if args.bf16 else "float32",
+                    fast_norm=args.fast_bn,
                 )
             elif stage == "fcn":
                 runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)

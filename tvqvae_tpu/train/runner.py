@@ -687,6 +687,7 @@ def train_stage3(
     precompute: bool = True,
     bundle_steps: int = 1,
     compute_dtype: str = "float32",
+    fast_norm: bool = False,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
@@ -701,6 +702,7 @@ def train_stage3(
         resnet_block_groups=cfg.fidelity_enhancer.resnet_block_groups,
         dropout=cfg.fidelity_enhancer.dropout,
         compute_dtype=compute_dtype,
+        fast_norm=fast_norm,
     )
     x0 = jnp.asarray(data.X_train[: min(4, batch_size)])
     params = init_stage3(jax.random.key(seed), fe, x0)
