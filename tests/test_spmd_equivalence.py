@@ -167,3 +167,24 @@ def test_stage2_step_8dev_equals_1dev(stage1_setup):
             f"metric {k}: 1-dev {m1[k]} vs 8-dev {m8[k]}"
         )
     _tree_close(st1.params, st8.params)
+
+
+def test_stage1_step_8dev_equals_1dev_fast_bn(stage1_setup):
+    """Same equivalence under --fast_bn: the fast BatchNorm's fp32-
+    accumulated batch statistics are batch-axis reductions too, so GSPMD
+    must insert the same cross-shard means; params/EMA/batch_stats must
+    agree between mesh sizes (tests the lever's SPMD semantics)."""
+    import dataclasses
+
+    from tvqvae_tpu.models.stage1 import Stage1Model
+
+    cfg, s1, _model, tx, state_np, x = stage1_setup
+    model = Stage1Model(dataclasses.replace(s1, fast_bn=True))
+    s_1, m1 = _run_stage1_on_mesh(1, model, tx, state_np, x)
+    s_8, m8 = _run_stage1_on_mesh(8, model, tx, state_np, x)
+    for k in m1:
+        assert np.isclose(m1[k], m8[k], rtol=2e-4, atol=1e-5), (
+            f"metric {k}: 1-dev {m1[k]} vs 8-dev {m8[k]}"
+        )
+    _tree_close(s_1.params, s_8.params)
+    _tree_close(s_1.batch_stats, s_8.batch_stats)
