@@ -97,6 +97,27 @@ class TrainedModelSampler:
         # All parameter trees are jit ARGUMENTS, never closures: closed-over
         # trees are baked into the HLO as constants (hundreds of MB for the
         # frozen stage-1 bundle), which blows up compilation payloads.
+        #
+        # They must also be DEVICE-RESIDENT: Orbax restore returns numpy
+        # trees, and a numpy leaf passed as a jit argument is re-uploaded
+        # host->device on EVERY call. That turned each generation batch into
+        # a full parameter upload (measured 11.4 s/32-batch through this
+        # environment's ~0.7 MB/s relay vs 48 ms/256-batch for the device
+        # program itself — PERF.md "Trained-sampler path"). Upload once here;
+        # under a mesh, replicate (a committed single-device array cannot
+        # feed a multi-device pjit).
+        if mesh is not None:
+            from tvqvae_tpu.parallel import replicate_tree
+
+            _put = lambda t: replicate_tree(mesh, t)  # noqa: E731
+        else:
+            _put = jax.device_put
+        self.frozen = _put(self.frozen)
+        self._prior_params = _put(self._prior_params)
+        self._prior_stats = _put(self._prior_stats)
+        if self._fe_params is not None:
+            self._fe_params = _put(self._fe_params)
+
         from tvqvae_tpu.train.stage2 import make_sampling_fn
 
         self._sample_tokens = make_sampling_fn(
