@@ -776,11 +776,15 @@ def main():
                     help="checkpoint the stage-1 conv blocks (recompute in "
                          "backward) — probes the activation-traffic lever "
                          "on the memory-bound step (PERF.md roofline)")
-    ap.add_argument("--fast_bn", action="store_true",
+    ap.add_argument("--fast_bn", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="BatchNorm normalization arithmetic in the compute "
                          "dtype with fp32-accumulated stats (removes the "
                          "fp32 activation materialization around every BN "
-                         "under bf16; tests/test_fast_bn.py)")
+                         "under bf16; tests/test_fast_bn.py). Default ON "
+                         "since round 3: chip-measured 18.00 vs 17.65 "
+                         "steps/s in adjacent windows and the L=512 quality "
+                         "ladder holds (PERF.md); --no-fast_bn opts out")
     ap.add_argument("--tpu-wait", type=float,
                     default=float(__import__("os").environ.get(
                         "BENCH_TPU_WAIT", 1800.0)),
@@ -889,7 +893,7 @@ def main():
         "vs_baseline": round(sps / BASELINE_STAGE1_STEPS_PER_SEC, 3),
         "extra": extra,
     }
-    if not args.fp32 and not args.remat and not args.fast_bn \
+    if not args.fp32 and not args.remat and args.fast_bn \
             and args.bundle == 1:
         _save_last_good(row)  # stale-fallback source for outage windows
     print(json.dumps(row))

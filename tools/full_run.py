@@ -79,6 +79,11 @@ def main():
                          "lax.scan; hides per-step dispatch latency)")
     ap.add_argument("--bundle3", type=int, default=1,
                     help="stage-3 bundle width (precomputed-x' path)")
+    ap.add_argument("--fast_bn", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="fast BatchNorm/GroupNorm (compute-dtype "
+                         "normalization, fp32-accumulated stats) for "
+                         "stages 1/3 — the round-3 production default")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.workdir)
@@ -131,7 +136,8 @@ def main():
         t0 = time.time()
         runner.train_stage1(cfg, data, paths["1"], None,
                             compute_dtype=dtype,
-                            bundle_steps=args.bundle1)
+                            bundle_steps=args.bundle1,
+                            fast_bn=args.fast_bn)
         dt = time.time() - t0
         res["stage1_minutes"] = round(dt / 60, 2)
         res["stage1_steps_per_s"] = round(budgets["stage1"] / dt, 2)
@@ -148,7 +154,8 @@ def main():
         t0 = time.time()
         runner.train_stage3(cfg, data, paths["1"], paths["3"], None,
                             bundle_steps=args.bundle3,
-                            compute_dtype=dtype)
+                            compute_dtype=dtype,
+                            fast_norm=args.fast_bn)
         dt = time.time() - t0
         res["stage3_minutes"] = round(dt / 60, 2)
         res["stage3_steps_per_s"] = round(budgets["stage3"] / dt, 2)

@@ -45,10 +45,14 @@ def build_argparser():
                    help="stage-1: checkpoint conv blocks (recompute in "
                         "backward) — trades cheap FLOPs for activation HBM "
                         "traffic on the memory-bound step")
-    p.add_argument("--fast_bn", action="store_true",
-                   help="stage-1 BatchNorm normalization in the compute "
+    p.add_argument("--fast_bn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="BatchNorm/GroupNorm normalization in the compute "
                         "dtype (fp32-accumulated stats) — removes fp32 "
-                        "activation materialization under --bf16")
+                        "activation materialization under --bf16. Default "
+                        "ON since round 3 (chip-measured +2%% at B=32, "
+                        "quality ladder unchanged — PERF.md 'fast_bn'); "
+                        "--no-fast_bn restores flax-default promotion")
     p.add_argument("--rbg_rng", action="store_true",
                    help="stage-1: use XLA's cheap counter-based (rbg) "
                         "generator for the training rng (dropout masks) "
