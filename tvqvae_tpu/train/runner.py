@@ -240,6 +240,7 @@ def _loop(
 
     timer = StepTimer()
     t0 = time.time()
+    last = {"step": start_step, "t": t0}  # segment-rate anchor
     tail = (max_steps - start_step) % stride if stride > 1 else 0
     if tail and train_tail is None:
         print(
@@ -259,9 +260,17 @@ def _loop(
             )
         if step % max(val_interval, 1) < width or step == max_steps:
             val = eval_once(step) if eval_once else {}
-            rate = (step - start_step) / (time.time() - t0)
+            now = time.time()
+            rate = (step - start_step) / (now - t0)
+            # Segment rate (since the previous val-boundary print) localizes
+            # slowdowns that a cumulative average hides — the fullrun2
+            # stage-1 final-quarter collapse was invisible until decoded by
+            # hand from cumulative rates (PERF.md full-geometry run #2).
+            seg = (step - last["step"]) / max(now - last["t"], 1e-9)
+            last["step"], last["t"] = step, now
             line = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
-            print(f"[{name}] step {step}/{max_steps} ({rate:.1f} it/s) {line}")
+            print(f"[{name}] step {step}/{max_steps} "
+                  f"({rate:.1f} it/s cum, {seg:.1f} seg) {line}")
             if logger and val:
                 logger.log_metrics(
                     {f"val/{k}": float(v) for k, v in val.items()}, step
