@@ -50,7 +50,10 @@ class Metrics:
         if feature_extractor_type == "supervised_fcn":
             assert fcn_variables is not None, "FCN features need a checkpoint"
             self._fcn = FCN(n_classes=n_classes)
-            self._fcn_vars = fcn_variables
+            # device_put: numpy leaves closed over by a jitted fn are baked
+            # into the HLO as literals (payload blowup through the remote
+            # compiler) — device arrays are threaded as buffers instead.
+            self._fcn_vars = jax.device_put(fcn_variables)
             self._fcn_apply = jax.jit(
                 lambda x: self._fcn.apply(self._fcn_vars, x, False, features=True)
             )

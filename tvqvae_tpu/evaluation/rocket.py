@@ -120,23 +120,39 @@ def _rocket_features(
     return jnp.stack([ppv, mx], axis=-1).reshape(B, 2 * K)
 
 
-def apply_kernels(
-    x: np.ndarray, kernels: RocketKernels, batch: int = 256
-) -> np.ndarray:
-    """(B, L) float -> (B, 2K) [ppv, max] features (reference :94-127)."""
+# Device-resident kernel banks, keyed by bank identity. numpy leaves passed
+# to a jitted fn are re-uploaded host->device on EVERY call (the same bug
+# class as the trained-sampler fix, PERF.md "param-upload fix"); upload each
+# bank once. The stored bank reference keeps the id stable.
+_DEVICE_BANKS: dict = {}
+
+
+def _device_bank(kernels: RocketKernels):
+    hit = _DEVICE_BANKS.get(id(kernels))
+    if hit is not None and hit[0] is kernels:
+        return hit[1], hit[2]
     L = kernels.input_length
     out_lens = (
         L + 2 * kernels.paddings - (kernels.lengths - 1) * kernels.dilations
     ).astype(np.int32)
-    I = int(out_lens.max())
-
-    args = (
+    args = jax.device_put((
         jnp.asarray(kernels.weights),
         jnp.asarray(kernels.biases),
         jnp.asarray(kernels.dilations),
         jnp.asarray(kernels.paddings),
         jnp.asarray(out_lens),
-    )
+    ))
+    I = int(out_lens.max())
+    _DEVICE_BANKS[id(kernels)] = (kernels, args, I)
+    return args, I
+
+
+def apply_kernels(
+    x: np.ndarray, kernels: RocketKernels, batch: int = 256
+) -> np.ndarray:
+    """(B, L) float -> (B, 2K) [ppv, max] features (reference :94-127)."""
+    L = kernels.input_length
+    args, I = _device_bank(kernels)
     outs = []
     xf = np.asarray(x, np.float32)
     for s in range(0, xf.shape[0], batch):
