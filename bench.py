@@ -260,7 +260,7 @@ def _state_drain(box):
     return drain
 
 def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
-                 fast_bn=False):
+                 fast_bn=False, bf16_mu=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -279,7 +279,11 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
     model, params, batch_stats, vq_l, vq_h = init_stage1(
         jax.random.key(0), spec, x
     )
-    tx = optax.adamw(warmup_cosine_schedule(1e-3, 50000), weight_decay=0.01)
+    # bf16_mu probes the optimizer-state HBM traffic (the top consumer in
+    # the fast_bn roofline: 181.4M fp32 params x ~28 B/param AdamW): first
+    # moment in bf16 halves the mu read+write (~0.73 GB of ~31 GB/step).
+    tx = optax.adamw(warmup_cosine_schedule(1e-3, 50000), weight_decay=0.01,
+                     mu_dtype=jnp.bfloat16 if bf16_mu else None)
     state = create_stage1_state(params, batch_stats, vq_l, vq_h, tx)
     step = jax.jit(make_stage1_train_step(model, tx), donate_argnums=0)
     return spec, model, step, state, x
@@ -287,7 +291,7 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
 
 def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
                  compute_dtype="float32", bundle=1, remat=False,
-                 fast_bn=False):
+                 fast_bn=False, bf16_mu=False):
     """Measures the per-step-dispatch training loop; with bundle > 1 ALSO
     measures the bundled lax.scan loop (runner `bundle_steps`).
 
@@ -304,7 +308,8 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
     from tvqvae_tpu.train import make_stage1_train_step  # noqa: F401
 
     spec, model, step, state, x = setup_stage1(
-        cfg, B, C, L, compute_dtype, remat=remat, fast_bn=fast_bn
+        cfg, B, C, L, compute_dtype, remat=remat, fast_bn=fast_bn,
+        bf16_mu=bf16_mu,
     )
     rng = jax.random.key(1)
 
@@ -785,6 +790,11 @@ def main():
                          "since round 3: chip-measured 18.00 vs 17.65 "
                          "steps/s in adjacent windows and the L=512 quality "
                          "ladder holds (PERF.md); --no-fast_bn opts out")
+    ap.add_argument("--bf16_mu", action="store_true",
+                    help="PROBE: AdamW first moment in bf16 (optax "
+                         "mu_dtype) — targets the optimizer-state HBM "
+                         "traffic, the top consumer in the fast_bn "
+                         "roofline (PERF.md 'Roofline gap: bounded')")
     ap.add_argument("--tpu-wait", type=float,
                     default=float(__import__("os").environ.get(
                         "BENCH_TPU_WAIT", 1800.0)),
@@ -833,7 +843,8 @@ def main():
     dtype = "float32" if args.fp32 else "bfloat16"
     s1, spec, state = bench_stage1(cfg, compute_dtype=dtype,
                                    bundle=args.bundle, remat=args.remat,
-                                   fast_bn=args.fast_bn)
+                                   fast_bn=args.fast_bn,
+                                   bf16_mu=args.bf16_mu)
     gen = bench_generation(cfg, spec, state)
 
     sps = s1["steps_per_sec_p50"]
@@ -880,6 +891,8 @@ def main():
         extra["remat"] = True
     if args.fast_bn:
         extra["fast_bn"] = True
+    if args.bf16_mu:
+        extra["bf16_mu"] = True
     row = {
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),
@@ -894,7 +907,7 @@ def main():
         "extra": extra,
     }
     if not args.fp32 and not args.remat and args.fast_bn \
-            and args.bundle == 1:
+            and not args.bf16_mu and args.bundle == 1:
         _save_last_good(row)  # stale-fallback source for outage windows
     print(json.dumps(row))
 
