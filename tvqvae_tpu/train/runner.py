@@ -46,7 +46,11 @@ from tvqvae_tpu.train.stage3 import (
     init_stage3,
     make_stage3_train_step,
 )
-from tvqvae_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from tvqvae_tpu.utils.checkpoint import (
+    AsyncSnapshotter,
+    load_checkpoint,
+    save_checkpoint,
+)
 from tvqvae_tpu.utils.logging import RunLogger
 from tvqvae_tpu.utils.schedule import warmup_cosine_schedule
 
@@ -453,8 +457,6 @@ def train_stage1(
         out["loss"] = out["recons_loss.time"]
         return out
 
-    from tvqvae_tpu.utils.checkpoint import save_train_state
-
     # Bundling must not drop configured steps: a remainder that doesn't fill
     # a bundle runs through a single-step tail program so the loop hits
     # max_steps exactly (also covers resume with < bundle steps left,
@@ -482,10 +484,12 @@ def train_stage1(
                 state_box[0], m = single_step(state_box[0], xb, rng)
                 return m
 
+    snapshotter = AsyncSnapshotter(snap_path)
     _loop("stage1", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage1", 5000),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: save_train_state(snap_path, state_box[0]))
+          snapshot=lambda step: snapshotter(state_box[0]))
+    snapshotter.join()
 
     state = state_box[0]
     save_checkpoint(
@@ -660,12 +664,12 @@ def train_stage2(
                 "running_metrics/KD": kd,
             }
 
-    from tvqvae_tpu.utils.checkpoint import save_train_state
-
+    snapshotter = AsyncSnapshotter(snap_path)
     _loop("stage2", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage2", 10000),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: save_train_state(snap_path, state_box[0]))
+          snapshot=lambda step: snapshotter(state_box[0]))
+    snapshotter.join()
 
     state = state_box[0]
     save_checkpoint(
@@ -884,12 +888,12 @@ def train_stage3(
                 out[f"running_metrics/KD{tag}"] = kd
             return out
 
-    from tvqvae_tpu.utils.checkpoint import save_train_state
-
+    snapshotter = AsyncSnapshotter(snap_path)
     _loop("stage3", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage3", 2500),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: save_train_state(snap_path, state_box[0]))
+          snapshot=lambda step: snapshotter(state_box[0]))
+    snapshotter.join()
 
     state = state_box[0]
     save_checkpoint(
