@@ -1,0 +1,85 @@
+"""Worker for tests/test_multiprocess_spmd.py — NOT a pytest module.
+
+Runs runner.train_stage1 under a REAL multi-process JAX runtime
+(jax.distributed over localhost, CPU devices, Gloo collectives): the
+process-sliced input feed (`make_batches(process_index/process_count)` +
+`jax.make_array_from_process_local_data`), the cross-process gradient /
+VQ-EMA reductions inside the jitted SPMD step, and the primary-host-gated
+checkpoint writes all execute for real — the paths that single-process
+tests can only mock. Dumps the final checkpoint's param/codebook tree to
+an .npz so the parent test can assert cross-process-count equivalence.
+
+Usage: python mp_stage1_worker.py <process_id> <num_processes> <port> <outdir>
+"""
+
+import sys
+
+
+def main():
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)  # 2 local x N processes
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=nproc,
+            process_id=pid,
+        )
+    assert jax.process_count() == nproc, (jax.process_count(), nproc)
+
+    import os
+
+    import numpy as np
+
+    from tvqvae_tpu.config import Config
+    from tvqvae_tpu.data.dataset import DatasetSplits
+    from tvqvae_tpu.train import runner
+
+    # identical synthetic data in every process (host-identical shuffle
+    # is the input-feed contract, dataset.py make_batches)
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(32, 2, 64)).astype(np.float32)
+    y = rng.integers(0, 2, size=(32, 1)).astype(np.int64)
+    data = DatasetSplits(
+        X_train=X, y_train=y, X_test=X[:8], y_test=y[:8],
+        scaler=None, n_classes=2,
+    )
+
+    cfg = Config.from_dict({
+        "dataset": {"batch_sizes": {"stage1": 8}},
+        "encoder": {
+            "init_dim": 4, "hid_dim": 8, "n_resnet_blocks": 1,
+            "downsampled_width": {"lf": 4, "hf": 8},
+        },
+        "decoder": {"n_resnet_blocks": 1},
+        "VQ-VAE": {"n_fft": 4, "codebook_sizes": {"lf": 8, "hf": 8}},
+        "trainer_params": {
+            "max_steps": {"stage1": 6},
+            "val_check_interval": {"stage1": 3},
+        },
+    })
+
+    ckpt = os.path.join(outdir, f"np{nproc}", "stage1")
+    runner.train_stage1(cfg, data, ckpt, None, seed=0)
+
+    # every process restores the (primary-written) checkpoint: a non-primary
+    # process reading it back IS the "restore anywhere" claim
+    from tvqvae_tpu.utils.checkpoint import load_checkpoint
+
+    tree, _ = load_checkpoint(ckpt)
+    flat = {}
+    import jax.tree_util as jtu
+
+    for path, leaf in jtu.tree_leaves_with_path(tree):
+        flat[jtu.keystr(path)] = np.asarray(leaf)
+    np.savez(os.path.join(outdir, f"final_np{nproc}_p{pid}.npz"), **flat)
+    print(f"[worker p{pid}/{nproc}] done: {len(flat)} leaves", flush=True)
+
+
+if __name__ == "__main__":
+    main()

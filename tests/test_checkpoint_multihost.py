@@ -37,11 +37,17 @@ def _tree():
 
 
 def test_non_primary_process_never_writes(tmp_path, monkeypatch):
+    """Non-primary gating. Orbax saves are NOT gated here: every process
+    must enter Checkpointer.save (it runs its own cross-process barriers and
+    gates leaf writes to the primary internally — the primary-only call
+    crashed the real 2-process runtime, tests/test_multiprocess_spmd.py).
+    Under this single-process mock orbax's real process_index is 0, so the
+    tree writes; the assertable gating is the meta sidecar and the flax
+    snapshot, which this module owns."""
     fake = _FakeMultiHost(monkeypatch, index=3, count=4)
     path = str(tmp_path / "ckpt" / "stage1")
 
     ckpt.save_checkpoint(path, _tree(), meta={"k": 1})
-    assert not os.path.exists(path)
     assert not os.path.exists(path + ".meta.json")
     assert fake.barriers == [f"save_checkpoint:{os.path.abspath(path)}"]
 

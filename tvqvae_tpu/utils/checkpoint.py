@@ -47,12 +47,17 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> None:
     path = os.path.abspath(path)
     if _primary_host():
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        ckptr = ocp.PyTreeCheckpointer()
-        tree = jax.tree.map(np.asarray, tree)
-        ckptr.save(path, tree, force=True)
-        if meta is not None:
-            with open(path + ".meta.json", "w") as f:
-                json.dump(meta, f, indent=2, default=_json_default)
+    # EVERY process enters the orbax save: Checkpointer.save runs its own
+    # cross-process sync_global_devices barriers internally and gates the
+    # actual leaf writes to the primary itself — calling it from only the
+    # primary mismatches those barriers against ours and deadlocks/crashes
+    # the other processes (caught by tests/test_multiprocess_spmd.py under
+    # a real 2-process jax.distributed runtime).
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, tree), force=True)
+    if meta is not None and _primary_host():
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2, default=_json_default)
     _multihost_barrier(f"save_checkpoint:{path}")
 
 
