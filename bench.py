@@ -97,10 +97,39 @@ def _emit_stale_and_exit(reason: str) -> None:
     os._exit(3)  # the hung backend init cannot be cancelled cooperatively
 
 
+_RUN_DONE = None  # set by _arm_run_deadline; signalled before the real print
+
+
+def _arm_run_deadline(deadline_s: float) -> None:
+    """WHOLE-RUN watchdog (VERDICT r3 next-1a): from this call until the
+    real driver line is printed, if deadline_s elapses the stale-marked
+    last-good line is emitted from the watchdog thread and the process
+    exits — no matter WHERE the hang is (backend init, claim wedge,
+    remote compile, execute, or the final fetch). Round 3's guard wrapped
+    only backend init; the hang came after init succeeded and the driver
+    killed the run with no JSON at all (BENCH_r03.json rc=124)."""
+    global _RUN_DONE
+    import threading
+
+    _RUN_DONE = threading.Event()
+    done = _RUN_DONE
+
+    def watchdog():
+        if not done.wait(deadline_s):
+            _emit_stale_and_exit(
+                f"bench did not reach its driver line within "
+                f"{deadline_s:.0f}s of start (TPU service outage pattern: "
+                f"hang can occur at init, compile, execute, or fetch)"
+            )
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+
+
 def _driver_mode_guard(timeout_s: float) -> None:
-    """First device contact with a watchdog: if the backend neither
-    initializes nor fails within timeout_s (service outage; a mere claim
-    wedge clears in 10-20 min), emit the stale fallback line."""
+    """First device contact with its own (shorter) watchdog: if the backend
+    neither initializes nor fails within timeout_s, emit the stale fallback
+    line immediately instead of waiting out the whole-run deadline."""
     import threading
 
     done = threading.Event()
@@ -737,6 +766,170 @@ def bench_vq_sweep(sizes=(32, 128, 512, 2048), D=128, M=3456, iters=1000):
     return rows
 
 
+def _multichip_devices(n: int):
+    """n devices for --multichip: the REAL platform when it has >= n chips
+    (probed in a SUBPROCESS with a seconds-scale timeout so a TPU-service
+    outage can't wedge this process — VERDICT r3 weak #1 pattern), else a
+    virtual CPU mesh (numbers marked cpu_mesh). Same bench code either way:
+    the scaling table materializes the day real chips exist."""
+    import os
+    import subprocess
+    import sys
+
+    use_real = False
+    if os.environ.get("MULTICHIP_FORCE_CPU") != "1":
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d=jax.devices(); "
+                 "print(len(d), d[0].platform)"],
+                capture_output=True, text=True, timeout=90,
+            )
+            if out.returncode == 0:
+                cnt, plat = out.stdout.split()[-2:]
+                use_real = int(cnt) >= n and plat != "cpu"
+        except Exception:
+            use_real = False
+
+    import jax
+
+    if use_real:
+        return jax.devices()[:n], False
+
+    import jax.extend.backend as jeb
+
+    try:
+        jeb.clear_backends()
+    except Exception:
+        pass
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_num_cpu_devices", max(n, 2))
+    jax.config.update("jax_platforms", "cpu")
+    return jax.devices()[:n], True
+
+
+def bench_multichip(n: int):
+    """Multi-chip scaling bench (VERDICT r3 next-5): stage-1 data-parallel
+    training step + generation fan-out over an n-device mesh, vs the same
+    per-device workload on a 1-device mesh. Reports per-device and
+    aggregate rates plus the collective's share of step time (the weak-
+    scaling overhead: gradient + VQ-EMA psum along `data`). On the virtual
+    CPU mesh (cpu_mesh=true) the numbers validate plumbing, not ICI; the
+    identical program fires on real chips unchanged."""
+    import jax
+
+    from tvqvae_tpu.config import Config
+    from tvqvae_tpu.parallel import make_mesh, replicate_tree, shard_batch
+
+    devices, cpu_mesh = _multichip_devices(n)
+    cfg = Config()
+    # CPU-mesh runs use a reduced geometry (1 host core): plumbing +
+    # scaling-shape validation. Real chips get the published geometry.
+    if cpu_mesh:
+        B_dev, C, L, dtype = 4, 4, 512, "float32"
+        chunks, chunk, warmup = 3, 4, 2
+    else:
+        B_dev, C, L, dtype = 32, 4, 4633, "bfloat16"
+        chunks, chunk, warmup = 5, 20, 10
+
+    import jax.numpy as jnp
+
+    rows = []
+
+    def _rate(mesh, B_total, label):
+        spec, model, step, state, _ = setup_stage1(
+            cfg, B_total, C, L, compute_dtype=dtype, fast_bn=True
+        )
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(B_total, C, L)),
+            jnp.float32,
+        )
+        state = replicate_tree(mesh, state)
+        xb = shard_batch(mesh, x)
+        rng = jax.random.key(1)
+        box = [state]
+        for _ in range(warmup):
+            box[0], m = step(box[0], xb, rng)
+        _state_drain(box)()
+
+        def one():
+            box[0], mm = step(box[0], xb, rng)
+            return mm
+
+        rates = _chunk_rates(one, chunks, chunk, drain=_state_drain(box))
+        del box
+        return float(np.percentile(rates, 50))
+
+    mesh_n = make_mesh(n, devices)
+    mesh_1 = make_mesh(1, devices[:1])
+    sps_1 = _rate(mesh_1, B_dev, "1dev")
+    sps_n = _rate(mesh_n, B_dev * n, f"{n}dev")
+    eff = sps_n / sps_1 if sps_1 else None
+    rows.append({
+        "mode": "multichip_stage1_dp", "n_devices": n, "cpu_mesh": cpu_mesh,
+        "geometry": {"B_per_device": B_dev, "C": C, "L": L, "dtype": dtype},
+        "steps_per_sec_1dev": round(sps_1, 3),
+        "steps_per_sec_ndev": round(sps_n, 3),
+        "agg_samples_per_sec": round(sps_n * B_dev * n, 1),
+        "weak_scaling_efficiency": round(eff, 3) if eff else None,
+        "collective_share_of_step": (
+            round(max(0.0, 1.0 - eff), 3) if eff else None
+        ),
+        "note": (
+            "virtual CPU mesh: validates SPMD plumbing/scaling shape only"
+            if cpu_mesh else "real devices over ICI"
+        ),
+    })
+
+    # generation fan-out: sample batch sharded along `data`
+    from tvqvae_tpu.models.maskgit import (
+        FrozenStage1,
+        MaskGITSpec,
+        build_transformers,
+    )
+    from tvqvae_tpu.models.stage1 import Stage1Model
+    from tvqvae_tpu.train.stage2 import init_stage2, make_sampling_fn
+
+    spec, model, _, s1_state, _ = setup_stage1(
+        cfg, B_dev, C, L, compute_dtype=dtype, fast_bn=True
+    )
+    frozen = replicate_tree(mesh_n, FrozenStage1(
+        params=s1_state.params, batch_stats=s1_state.batch_stats,
+        vq_l=s1_state.vq_l, vq_h=s1_state.vq_h,
+    ))
+    mg = MaskGITSpec.from_config(cfg, spec)
+    t_l, t_h = build_transformers(cfg, spec, n_classes=5)
+    p2, h_stats = init_stage2(jax.random.key(2), t_l, t_h, mg)
+    p2 = replicate_tree(mesh_n, p2)
+    h_stats = replicate_tree(mesh_n, h_stats)
+    sample_fn = make_sampling_fn(Stage1Model(spec), t_l, t_h, mg, mesh=mesh_n)
+    GB = (32 if cpu_mesh else 256) * n
+    out_box = [None]
+
+    def one_gen():
+        out_box[0] = sample_fn(
+            frozen, p2, h_stats, jax.random.key(4), GB, None
+        )
+        return out_box[0]
+
+    def drain_gen():
+        return float(jnp.sum(jax.tree.leaves(out_box[0])[0][:2]))
+
+    one_gen()
+    drain_gen()
+    grates = _chunk_rates(one_gen, max(chunks - 2, 2), 2,
+                          unit_per_call=GB, drain=drain_gen)
+    rows.append({
+        "mode": "multichip_generation", "n_devices": n, "cpu_mesh": cpu_mesh,
+        "gen_batch_global": GB,
+        "traj_per_sec_agg": round(float(np.percentile(grates, 50)), 1),
+        "traj_per_sec_per_device": round(
+            float(np.percentile(grates, 50)) / n, 1
+        ),
+    })
+    return rows
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: the big stage-1/generation programs
     take minutes to (remote-)compile on this backend; cache hits make
@@ -797,17 +990,35 @@ def main():
                          "roofline (PERF.md 'Roofline gap: bounded')")
     ap.add_argument("--tpu-wait", type=float,
                     default=float(__import__("os").environ.get(
-                        "BENCH_TPU_WAIT", 1800.0)),
+                        "BENCH_TPU_WAIT", 900.0)),
                     help="driver mode: seconds to wait for TPU backend init "
                          "before emitting the stale-fallback line (claim "
                          "wedges clear in 10-20 min; outages hang 25+ min "
                          "then raise)")
+    ap.add_argument("--deadline", type=float,
+                    default=float(__import__("os").environ.get(
+                        "BENCH_DEADLINE", 1500.0)),
+                    help="driver mode: whole-run budget (start to JSON "
+                         "line); on expiry the stale-marked last-good line "
+                         "is emitted no matter where the hang is")
+    ap.add_argument("--multichip", type=int, default=0, metavar="N",
+                    help="multi-chip scaling bench over an N-device mesh "
+                         "(virtual CPU mesh when the platform is short — "
+                         "numbers marked cpu_mesh; same code fires on real "
+                         "ICI unchanged)")
     args = ap.parse_args()
 
     driver_mode = not any((args.vq_sweep, args.batch_sweep, args.distances,
-                           args.train_loop, args.stage2, args.stage3))
+                           args.train_loop, args.stage2, args.stage3,
+                           args.multichip))
     if driver_mode:
-        _driver_mode_guard(args.tpu_wait)
+        _arm_run_deadline(args.deadline)
+        _driver_mode_guard(min(args.tpu_wait, args.deadline * 0.75))
+
+    if args.multichip:
+        for row in bench_multichip(args.multichip):
+            print(json.dumps(row))
+        return
 
     from tvqvae_tpu.config import Config
 
@@ -901,14 +1112,28 @@ def main():
             "conv stacks, 1 chip, p50"
             + (f", bundled lax.scan loop {s1['bundle_steps']} steps/dispatch"
                if s1.get("bundle_steps", 1) > 1 else "")
-            + ")"
+            + "); vs_baseline denominator is an ESTIMATED 10 steps/s "
+            "reference single-GPU rate"
         ),
         "vs_baseline": round(sps / BASELINE_STAGE1_STEPS_PER_SEC, 3),
+        # measured anchors promoted to the top level (VERDICT r3 next-7):
+        # the line must be readable without PERF.md context
+        "vs_reference_cpu_measured": round(
+            sps / REFERENCE_CPU_STEPS_PER_SEC, 1
+        ),
         "extra": extra,
     }
+    rl = s1.get("roofline") or {}
+    if rl.get("memory_floor_ms_hlo_estimate"):
+        row["pct_of_hbm_roofline"] = round(
+            100.0 * rl["memory_floor_ms_hlo_estimate"]
+            / rl["measured_step_ms"], 1
+        )
     if not args.fp32 and not args.remat and args.fast_bn \
             and not args.bf16_mu and args.bundle == 1:
         _save_last_good(row)  # stale-fallback source for outage windows
+    if _RUN_DONE is not None:
+        _RUN_DONE.set()  # disarm the whole-run watchdog: real line follows
     print(json.dumps(row))
 
 

@@ -44,10 +44,12 @@ evaluation:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/qr")
-    ap.add_argument("--fast_bn", action="store_true",
+    ap.add_argument("--fast_bn", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="stage-1 BN normalization in the compute dtype "
-                         "(the --fast_bn training lever; quality gate for "
-                         "flipping its default)")
+                         "(the --fast_bn training lever; matches the "
+                         "train.py default, which flipped ON in round 3 — "
+                         "use --no-fast_bn to quality-gate the OFF arm)")
     ap.add_argument("--bf16", action="store_true",
                     help="train the stage-1 conv stacks in bfloat16")
     ap.add_argument("--ess", action="store_true",
@@ -87,8 +89,10 @@ def main():
         ]
         if args.bf16:
             argv.append("--bf16")
-        if args.fast_bn:
-            argv.append("--fast_bn")
+        # always pass the resolved state: train.py defaults fast_bn ON, so
+        # omitting the flag would silently train the ON arm while the
+        # summary recorded False (ADVICE r3 #1)
+        argv.append("--fast_bn" if args.fast_bn else "--no-fast_bn")
         train_main(argv)
     train_minutes = (time.time() - t0) / 60.0
     print(json.dumps({"train_minutes": round(train_minutes, 1),

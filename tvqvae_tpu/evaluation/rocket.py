@@ -120,17 +120,17 @@ def _rocket_features(
     return jnp.stack([ppv, mx], axis=-1).reshape(B, 2 * K)
 
 
-# Device-resident kernel banks, keyed by bank identity. numpy leaves passed
-# to a jitted fn are re-uploaded host->device on EVERY call (the same bug
-# class as the trained-sampler fix, PERF.md "param-upload fix"); upload each
-# bank once. The stored bank reference keeps the id stable.
-_DEVICE_BANKS: dict = {}
-
-
 def _device_bank(kernels: RocketKernels):
-    hit = _DEVICE_BANKS.get(id(kernels))
-    if hit is not None and hit[0] is kernels:
-        return hit[1], hit[2]
+    """Device-resident copy of the kernel bank, cached ON the bank object
+    itself: numpy leaves passed to a jitted fn are re-uploaded host->device
+    on EVERY call (the same bug class as the trained-sampler fix, PERF.md
+    "param-upload fix"), so upload each bank once. Storing the cache on the
+    instance (not a module-level id()-keyed dict) lets it die with the bank
+    — a long-lived process that builds fresh banks per evaluation no longer
+    leaks HBM (ADVICE r3 #2)."""
+    hit = getattr(kernels, "_device_cache", None)
+    if hit is not None:
+        return hit
     L = kernels.input_length
     out_lens = (
         L + 2 * kernels.paddings - (kernels.lengths - 1) * kernels.dilations
@@ -143,7 +143,7 @@ def _device_bank(kernels: RocketKernels):
         jnp.asarray(out_lens),
     ))
     I = int(out_lens.max())
-    _DEVICE_BANKS[id(kernels)] = (kernels, args, I)
+    kernels._device_cache = (args, I)
     return args, I
 
 

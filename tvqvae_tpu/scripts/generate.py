@@ -126,8 +126,11 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="run the frozen decode conv stacks (and FE) in "
                         "bfloat16 — halves decode HBM traffic")
-    p.add_argument("--fast_bn", action="store_true",
-                   help="BN normalization in the compute dtype (see train)")
+    p.add_argument("--fast_bn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="BN normalization in the compute dtype (default ON "
+                        "to match training since round 3; identical math "
+                        "at fp32 — --no-fast_bn opts out)")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()

@@ -37,8 +37,13 @@ def main(argv=None):
     p.add_argument("--no_warmup", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="serve with bfloat16 decode conv stacks (and FE)")
-    p.add_argument("--fast_bn", action="store_true",
-                   help="BN normalization in the compute dtype")
+    p.add_argument("--fast_bn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="BN normalization in the compute dtype (default ON "
+                        "to match training since round 3; identical math "
+                        "at fp32, faster under --bf16; checkpoint trees "
+                        "are unaffected either way — --no-fast_bn opts "
+                        "out)")
     p.add_argument("--data_parallel", action="store_true",
                    help="fan generation out over all local devices via a "
                         "1-D data mesh (batch_size must divide the device "

@@ -54,7 +54,17 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> None:
     # the other processes (caught by tests/test_multiprocess_spmd.py under
     # a real 2-process jax.distributed runtime).
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, tree), force=True)
+    # Host-materialize fully-addressable leaves (np.asarray); a NON-fully-
+    # addressable jax.Array (sharded across processes) would make np.asarray
+    # raise, so pass it through intact — orbax writes per-process shards
+    # itself (ADVICE r3 #3: the replication constraint is now handled, not
+    # silently assumed).
+    def _host_leaf(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return a
+        return np.asarray(a)
+
+    ckptr.save(path, jax.tree.map(_host_leaf, tree), force=True)
     if meta is not None and _primary_host():
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f, indent=2, default=_json_default)
