@@ -66,10 +66,13 @@ class TrainedModelSampler:
         self.in_channels = int(meta["in_channels"])
         self.n_classes = int(meta["n_classes"])
 
-        tree2, _ = load_checkpoint(stage2_ckpt)
+        tree2, meta2 = load_checkpoint(stage2_ckpt)
         self.mg_spec = MaskGITSpec.from_config(cfg, self.s1_spec)
         self.t_l, self.t_h = build_transformers(
-            cfg, self.s1_spec, self.n_classes
+            cfg, self.s1_spec, self.n_classes,
+            # imported reference priors carry trained square project_in/out
+            # Linears (meta flag written by import_ckpt --stage2_ckpt)
+            force_projections=bool((meta2 or {}).get("force_projections")),
         )
         self._prior_params = tree2["params"]
         self._prior_stats = tree2.get("h_stats", {})

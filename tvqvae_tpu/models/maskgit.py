@@ -189,9 +189,14 @@ class MaskGITSpec:
 
 
 def build_transformers(
-    cfg: Config, s1: Stage1Spec, n_classes: int
+    cfg: Config, s1: Stage1Spec, n_classes: int,
+    force_projections: bool = False,
 ) -> Tuple[BidirectionalTransformer, BidirectionalTransformer]:
+    """force_projections: set when loading an imported reference stage-2
+    checkpoint (its meta records it) — keeps x-transformers' square
+    project_in/out Linears that fresh training here omits."""
     mk = lambda kind, pm, n_tok: BidirectionalTransformer(
+        force_projections=force_projections,
         kind=kind,
         num_tokens=n_tok,
         codebook_size_l=s1.vq_l.codebook_size,

@@ -126,6 +126,14 @@ class BidirectionalTransformer(nn.Module):
     n_classes: int
     model_dropout: float = 0.3
     emb_dropout: float = 0.3
+    # x-transformers' ContinuousTransformerWrapper creates project_in/out
+    # Linears whenever dim_in/dim_out are passed — even square ones (the
+    # reference's LF prior trains a 128->128 pair). Fresh training here
+    # omits square projections (pure overhead); imported reference
+    # checkpoints set this flag so their trained square projections load
+    # verbatim (utils/import_reference.stage2_from_state_dict). The flag
+    # travels in the stage-2 checkpoint meta.
+    force_projections: bool = False
 
     @property
     def in_dim(self) -> int:
@@ -203,7 +211,7 @@ class BidirectionalTransformer(nn.Module):
         h = jnp.concatenate([cls, emb], axis=1)  # (B, 1+n, in_dim)
 
         # x-transformers ContinuousTransformerWrapper surface
-        if self.in_dim != self.hidden_dim:
+        if self.in_dim != self.hidden_dim or self.force_projections:
             h = nn.Dense(self.hidden_dim, name="project_in")(h)
         h = nn.LayerNorm(name="post_emb_norm")(h)
         for i in range(self.n_layers):
@@ -217,7 +225,7 @@ class BidirectionalTransformer(nn.Module):
                 name=f"block_{i}",
             )(h, train)
         h = (nn.RMSNorm() if self.use_rmsnorm else nn.LayerNorm())(h)
-        if self.in_dim != self.hidden_dim:
+        if self.in_dim != self.hidden_dim or self.force_projections:
             h = nn.Dense(self.in_dim, name="project_out")(h)
 
         # prediction head + weight-tied logits (reference :111-119,186-192)

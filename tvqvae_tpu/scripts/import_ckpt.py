@@ -1,19 +1,21 @@
 """Import reference-trained checkpoints (torch) into framework checkpoints.
 
     import_ckpt --stage1_ckpt saved_models/DS/stage1.ckpt \
+                --stage2_ckpt saved_models/DS/stage2.ckpt \
                 --stage3_ckpt saved_models/DS/stage3.ckpt \
                 --fcn_ckpt saved_models/DS/fcn.ckpt \
                 --out_dir saved_models/OpenSky_EHAM_LIMC --n_classes 5
 
 Writes Orbax checkpoints this framework's loaders read directly
 (`runner.load_stage1_bundle`, `runner.load_fcn_bundle`, and the
-TrainedModelSampler's stage-3 path): an imported stage-1 enables
-reconstruction / SVQ round-trips / recon-FID evaluation, an imported FCN
-makes FID/IS numbers computed here feature-identical to the reference's
-(the transplant tests pin the conversion to 2e-4), and an imported stage-3
-carries over the trained fidelity enhancer (incl. its tau buffer). Only
-stage-2 (x-transformers prior) is not importable — it retrains here in
-minutes; see tvqvae_tpu/utils/import_reference.py.
+TrainedModelSampler's stage-2/3 paths): an imported stage-1 enables
+reconstruction / SVQ round-trips / recon-FID evaluation, an imported
+stage-2 carries over the trained prior transformers (the full sampler
+then runs on reference weights end-to-end), an imported FCN makes FID/IS
+numbers computed here feature-identical to the reference's (the
+transplant tests pin the conversion to 2e-4), and an imported stage-3
+carries over the trained fidelity enhancer (incl. its tau buffer). See
+tvqvae_tpu/utils/import_reference.py for the conversions.
 
 Every imported tree is validated against a freshly-initialized model of the
 same config: identical tree structure and shapes, or the CLI aborts with
@@ -69,6 +71,10 @@ def main(argv=None):
     )
     p.add_argument("--stage1_ckpt", type=str, default=None,
                    help="reference stage1.ckpt (Lightning)")
+    p.add_argument("--stage2_ckpt", type=str, default=None,
+                   help="reference stage2.ckpt (Lightning; both prior "
+                        "transformers are imported — the frozen stage-1 "
+                        "copy inside it is ignored)")
     p.add_argument("--stage3_ckpt", type=str, default=None,
                    help="reference stage3.ckpt (Lightning; the fidelity-"
                         "enhancer weights + tau are imported)")
@@ -83,9 +89,14 @@ def main(argv=None):
                    help="class count for the stage-1 meta (taken from the "
                         "FCN head when --fcn_ckpt is given)")
     args = p.parse_args(argv)
-    if not args.stage1_ckpt and not args.fcn_ckpt and not args.stage3_ckpt:
-        p.error("nothing to do: pass --stage1_ckpt, --stage3_ckpt "
-                "and/or --fcn_ckpt")
+    if not any((args.stage1_ckpt, args.stage2_ckpt, args.stage3_ckpt,
+                args.fcn_ckpt)):
+        p.error("nothing to do: pass --stage1_ckpt, --stage2_ckpt, "
+                "--stage3_ckpt and/or --fcn_ckpt")
+    if args.stage2_ckpt and not args.stage1_ckpt:
+        p.error("--stage2_ckpt needs --stage1_ckpt in the same invocation "
+                "(the prior's token-grid geometry comes from the stage-1 "
+                "spec)")
     if args.stage3_ckpt and not args.stage1_ckpt:
         p.error("--stage3_ckpt needs --stage1_ckpt in the same invocation "
                 "(the sampler reads the FE geometry from the stage-1 meta)")
@@ -96,6 +107,7 @@ def main(argv=None):
         fcn_from_state_dict,
         fe_from_state_dict,
         stage1_from_state_dict,
+        stage2_from_state_dict,
     )
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
@@ -172,6 +184,54 @@ def main(argv=None):
             "in_channels": inferred["in_channels"],
             "n_classes": int(n_classes),
             "imported_from": os.path.abspath(args.stage1_ckpt),
+        })
+        print(f"[import] wrote {out}")
+
+    if args.stage2_ckpt:
+        p2, h_stats, inf2 = stage2_from_state_dict(
+            _load_torch(args.stage2_ckpt)
+        )
+        print(f"[import] stage2.ckpt: {inf2}")
+
+        import jax
+
+        from tvqvae_tpu.models.maskgit import MaskGITSpec, build_transformers
+        from tvqvae_tpu.models.stage1 import Stage1Spec
+        from tvqvae_tpu.train.stage2 import init_stage2
+
+        spec1 = Stage1Spec.from_config(
+            cfg, inferred["input_length"], inferred["in_channels"]
+        )
+        for kind, inf in (("lf", inf2["lf"]), ("hf", inf2["hf"])):
+            want = spec1.tokens_l if kind == "lf" else spec1.tokens_h
+            if inf["num_tokens"] != want:
+                raise SystemExit(
+                    f"stage2 {kind}: prior trained on {inf['num_tokens']} "
+                    f"tokens but the stage-1 geometry yields {want} — "
+                    "stage-1/stage-2 checkpoints are from different runs?"
+                )
+        mg = MaskGITSpec.from_config(cfg, spec1)
+        t_l, t_h = build_transformers(
+            cfg, spec1, int(inf2["lf"]["n_classes"]),
+            force_projections=inf2["force_projections"],
+        )
+        f_params, f_hstats = init_stage2(jax.random.key(0), t_l, t_h, mg)
+        _assert_same_tree(
+            {"params": p2, "h_stats": h_stats},
+            {"params": jax.tree.map(np.asarray, f_params),
+             "h_stats": jax.tree.map(np.asarray, f_hstats)},
+            "stage2", inf2,
+        )
+        out = os.path.join(args.out_dir, "stage2")
+        save_checkpoint(out, {
+            "params": p2,
+            "h_stats": h_stats,
+            "step": np.asarray(0),
+        }, meta={
+            "config": dataclasses.asdict(cfg),
+            "n_classes": int(inf2["lf"]["n_classes"]),
+            "force_projections": inf2["force_projections"],
+            "imported_from": os.path.abspath(args.stage2_ckpt),
         })
         print(f"[import] wrote {out}")
 

@@ -841,9 +841,12 @@ def train_stage3(
         from tvqvae_tpu.train.stage2 import make_sampling_fn
         from tvqvae_tpu.utils.checkpoint import load_checkpoint
 
-        tree2, _ = load_checkpoint(stage2_ckpt)
+        tree2, meta2 = load_checkpoint(stage2_ckpt)
         spec = MaskGITSpec.from_config(cfg, s1)
-        t_l, t_h = build_transformers(cfg, s1, data.n_classes)
+        t_l, t_h = build_transformers(
+            cfg, s1, data.n_classes,
+            force_projections=bool((meta2 or {}).get("force_projections")),
+        )
         n_val = val_n_samples or min(
             cfg.evaluation.min_num_gen_samples, 1024
         )

@@ -33,13 +33,23 @@ Not importable from the reference:
   temperature buffer ``fidelity_enhancer.tau`` (:472) carries over into the
   checkpoint's ``tau`` leaf.
 
-Not importable from the reference:
-
-  - stage2.ckpt — the prior transformer body is x-transformers
-    (bidirectional_transformer.py:92-110); its parameter naming is an
-    external-library implementation detail we cannot verify without the
-    package installed. Retrain stage 2 here (minutes at the published
-    budget with the precomputed-token path).
+stage2.ckpt import (``stage2_from_state_dict``): the prior transformer
+body is x-transformers (bidirectional_transformer.py:92-110:
+ContinuousTransformerWrapper + pre-norm Encoder). The walker is
+STRUCTURAL — blocks are classified by their own keys (``to_q`` present =
+attention, else feed-forward; 1-tensor norm = RMSNorm ``g``, 2-tensor =
+LayerNorm), so it tolerates the naming drift between x-transformers
+versions (``layers.{i}.0.g`` vs ``layers.{i}.0.0.g``, ``ff.0.0`` vs
+``net.0.0``, ``to_out`` vs ``to_out.0``) and raises loudly on anything it
+does not recognize. The wrapper's ALWAYS-present project_in/project_out
+Linears (x-transformers creates them whenever dim_in/dim_out are passed,
+even square — the published LF prior trains a 128->128 pair) map onto
+this repo's project_in/project_out Dense layers; for the square case,
+the returned ``force_projections`` flag (written into the checkpoint
+meta by ``import_ckpt``) makes loaders rebuild the flax model with the
+projections that fresh training omits. Folding them away instead would
+be wrong: project_in would have to fold into tok_emb, whose table is
+weight-TIED to the output logits.
 """
 
 from typing import Dict, Tuple
@@ -50,6 +60,7 @@ __all__ = [
     "stage1_from_state_dict",
     "fcn_from_state_dict",
     "fe_from_state_dict",
+    "stage2_from_state_dict",
 ]
 
 
@@ -374,6 +385,306 @@ def fe_from_state_dict(sd: Dict[str, np.ndarray]):
         "tau": tau,
     }
     return {"Unet1D_0": p}, tau, inferred
+
+
+# --- stage-2 prior (x-transformers ContinuousTransformerWrapper) -----------
+
+
+def _natural_key(k: str):
+    """Sort '10' after '2': split digit runs into ints."""
+    import re
+
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", k)]
+
+
+def _norm_params(sub: Dict[str, np.ndarray], where: str):
+    """A norm slot: 1 one-dim tensor = RMSNorm g -> {'scale'}; 2 = LayerNorm
+    weight/bias -> {'scale','bias'}. Tolerates nesting (ModuleList of norms
+    in newer x-transformers: '0.g') and naming (g/gamma/weight/scale)."""
+    onedim = {k: _np(v) for k, v in sub.items()
+              if np.ndim(v) == 1 and "num_batches" not in k}
+    if len(onedim) == 1:
+        return {"scale": next(iter(onedim.values()))}, True
+    if len(onedim) == 2:
+        scale = bias = None
+        for k, v in onedim.items():
+            leaf = k.rsplit(".", 1)[-1]
+            if leaf in ("g", "gamma", "weight", "scale"):
+                scale = v
+            elif leaf in ("bias", "beta", "b"):
+                bias = v
+        if scale is None or bias is None:
+            raise ValueError(
+                f"{where}: cannot identify LayerNorm scale/bias among "
+                f"{sorted(onedim)}"
+            )
+        return {"scale": scale, "bias": bias}, False
+    raise ValueError(
+        f"{where}: expected 1 (RMSNorm) or 2 (LayerNorm) 1-D tensors, "
+        f"got {sorted(onedim)}"
+    )
+
+
+def _linear_of(sub: Dict[str, np.ndarray], prefix: str, dim_out: int,
+               where: str):
+    """A torch Linear under `prefix` (directly or one Sequential level
+    down, e.g. to_out vs to_out.0): -> flax {'kernel','bias'} (bias zeros
+    when the Linear has none — exact, flax Dense always carries one)."""
+    cand = {k: v for k, v in _subtree(sub, prefix).items()} \
+        if any(k.startswith(prefix + ".") for k in sub) else {}
+    if not cand and prefix + ".weight" not in sub:
+        raise ValueError(f"{where}: no Linear under '{prefix}'")
+    if "weight" not in cand:
+        # one Sequential level down: take the lone 2-D weight
+        w2 = {k: v for k, v in cand.items()
+              if k.endswith("weight") and np.ndim(v) == 2}
+        if len(w2) != 1:
+            raise ValueError(
+                f"{where}: expected exactly one 2-D weight under "
+                f"'{prefix}', got {sorted(w2)}"
+            )
+        wkey = next(iter(w2))
+        w = _np(cand[wkey])
+        b = cand.get(wkey[: -len("weight")] + "bias")
+    else:
+        w = _np(cand["weight"])
+        b = cand.get("bias")
+    return {
+        "kernel": w.T,
+        "bias": _np(b) if b is not None else np.zeros(dim_out, np.float32),
+    }
+
+
+def _xt_attention(sub: Dict[str, np.ndarray], where: str):
+    """x-transformers Attention -> flax EncoderBlock attention Denses
+    (Dense_0/1/2 = q/k/v, no bias; Dense_3 = to_out)."""
+    out = {}
+    for i, name in enumerate(("to_q", "to_k", "to_v")):
+        w = sub.get(f"{name}.weight")
+        if w is None:
+            raise ValueError(f"{where}: attention missing {name}.weight")
+        out[f"Dense_{i}"] = {"kernel": _np(w).T}
+    dim = int(_np(sub["to_q.weight"]).shape[1])
+    out["Dense_3"] = _linear_of(sub, "to_out", dim, where)
+    return out, dim
+
+
+def _xt_feedforward(sub: Dict[str, np.ndarray], where: str):
+    """x-transformers FeedForward (GELU variant) -> flax Dense_4/Dense_5.
+    Structural: the ordered 2-D weights are [in-proj, out-proj] regardless
+    of the Sequential index naming across versions (ff.0.0/ff.2 vs
+    net.0.0/net.3)."""
+    w2 = sorted(
+        (k for k, v in sub.items()
+         if k.endswith("weight") and np.ndim(v) == 2),
+        key=_natural_key,
+    )
+    if len(w2) != 2:
+        raise ValueError(
+            f"{where}: expected 2 Linear weights in feed-forward, got {w2}"
+        )
+    out = {}
+    for slot, k in zip(("Dense_4", "Dense_5"), w2):
+        w = _np(sub[k])
+        b = sub.get(k[: -len("weight")] + "bias")
+        out[slot] = {
+            "kernel": w.T,
+            "bias": (_np(b) if b is not None
+                     else np.zeros(w.shape[0], np.float32)),
+        }
+    return out
+
+
+def _upscale(sub: Dict[str, np.ndarray]):
+    """Reference Upscale (bidirectional_transformer.py:12-30):
+    conv = Sequential(Conv1d, GELU, BatchNorm1d, Conv1d) -> this repo's
+    projector {Conv_0, BatchNorm_0, Conv_1} (+ batch stats)."""
+    bn_p, bn_s = _bn(_subtree(sub, "conv.2"))
+    params = {
+        "Conv_0": _conv1d(_subtree(sub, "conv.0")),
+        "BatchNorm_0": bn_p,
+        "Conv_1": _conv1d(_subtree(sub, "conv.3")),
+    }
+    return params, {"BatchNorm_0": bn_s}
+
+
+def _prior_from_state_dict(sd: Dict[str, np.ndarray], kind: str):
+    """One BidirectionalTransformer state dict -> (flax params,
+    batch_stats, inferred). Projections are folded when square (see module
+    docstring)."""
+    where = f"transformer_{kind[0]}"
+    params: dict = {
+        "tok_emb_l": {"embedding": _np(sd["tok_emb_l.weight"])},
+        "pos_emb": {"embedding": _np(sd["pos_emb.weight"])},
+        "class_emb": {"embedding": _np(sd["class_condition_emb.weight"])},
+        "logit_bias": _np(sd["bias"]),
+    }
+    stats: dict = {}
+    if kind == "hf":
+        params["tok_emb_h"] = {"embedding": _np(sd["tok_emb_h.weight"])}
+        proj_p, proj_s = _upscale(_subtree(sd, "projector"))
+        params["projector"] = proj_p
+        stats["projector"] = proj_s
+
+    blocks = _subtree(sd, "blocks")
+    in_dim = params["pos_emb"]["embedding"].shape[1]
+
+    # wrapper projections: x-transformers creates them whenever dim_in/
+    # dim_out are passed (the reference always passes both, :92-94)
+    proj_in = proj_out = None
+    if "project_in.weight" in blocks:
+        proj_in = _linear_of(blocks, "project_in",
+                             int(_np(blocks["project_in.weight"]).shape[0]),
+                             where)
+    if "project_out.weight" in blocks:
+        proj_out = _linear_of(blocks, "project_out",
+                              int(_np(blocks["project_out.weight"]).shape[0]),
+                              where)
+    hidden_dim = (proj_in["kernel"].shape[1] if proj_in is not None
+                  else in_dim)
+    if proj_in is not None:
+        if proj_out is None:
+            raise ValueError(f"{where}: project_in without project_out")
+        params["project_in"] = proj_in
+        params["project_out"] = proj_out
+    elif hidden_dim != in_dim:
+        raise ValueError(
+            f"{where}: hidden_dim {hidden_dim} != in_dim {in_dim} "
+            "but wrapper projections are missing"
+        )
+    # square projections are real trained weights in the reference (the
+    # wrapper creates them unconditionally) but fresh training here omits
+    # them; the meta flag makes loaders rebuild the model WITH them.
+    # Folding them away instead is impossible: project_in would have to
+    # fold into tok_emb, whose table is weight-TIED to the output logits.
+    force_projections = proj_in is not None and hidden_dim == in_dim
+
+    pe_p, pe_is_rms = _norm_params(
+        _subtree(blocks, "post_emb_norm"), where + ".post_emb_norm"
+    )
+    if pe_is_rms:
+        raise ValueError(
+            f"{where}: post_emb_norm should be a LayerNorm "
+            "(ContinuousTransformerWrapper post_emb_norm=True)"
+        )
+    params["post_emb_norm"] = pe_p
+
+    # encoder layers: alternating attention / feed-forward, classified by
+    # their own keys, each with its pre-norm at slot 0
+    al = _subtree(blocks, "attn_layers")
+    layer_items = _children(_subtree(al, "layers"))
+    use_rmsnorm = None
+    pairs = []  # (attn_dict+norm, ff_dict+norm)
+    pending_attn = None
+    for i, sub in layer_items:
+        lw = f"{where}.layers.{i}"
+        norm, is_rms = _norm_params(_subtree(sub, "0"), lw + ".norm")
+        if use_rmsnorm is None:
+            use_rmsnorm = is_rms
+        elif use_rmsnorm != is_rms:
+            raise ValueError(f"{lw}: mixed norm types across layers")
+        block = _subtree(sub, "1")
+        is_attn = any("to_q" in k for k in block)
+        if is_attn:
+            if pending_attn is not None:
+                raise ValueError(f"{lw}: two attention layers in a row — "
+                                 "not the reference Encoder('a','f') order")
+            attn, _dim = _xt_attention(block, lw)
+            pending_attn = {("RMSNorm_0" if is_rms else "LayerNorm_0"): norm,
+                            **attn}
+        else:
+            if pending_attn is None:
+                raise ValueError(f"{lw}: feed-forward before attention — "
+                                 "not the reference Encoder('a','f') order")
+            ff = _xt_feedforward(block, lw)
+            pairs.append({
+                **pending_attn,
+                ("RMSNorm_1" if is_rms else "LayerNorm_1"): norm,
+                **ff,
+            })
+            pending_attn = None
+    if pending_attn is not None:
+        raise ValueError(f"{where}: trailing attention layer without "
+                         "feed-forward")
+    if not pairs:
+        raise ValueError(f"{where}: no encoder layers found")
+    for j, blk in enumerate(pairs):
+        params[f"block_{j}"] = blk
+
+    # final norm: the attn_layers-level 1-D tensors outside 'layers.'
+    fin = {k: v for k, v in al.items()
+           if not k.startswith("layers.") and np.ndim(v) == 1}
+    fin_p, fin_is_rms = _norm_params(fin, where + ".final_norm")
+    params["RMSNorm_0" if fin_is_rms else "LayerNorm_0"] = fin_p
+
+    # prediction head: Sequential(Linear, GELU, LayerNorm) (:111-117)
+    embed_dim = params["tok_emb_l"]["embedding"].shape[1]
+    pred = _linear_of(sd, "pred_head.0", embed_dim, where + ".pred_head")
+    pn_p, pn_is_rms = _norm_params(
+        _subtree(sd, "pred_head.2"), where + ".pred_norm"
+    )
+    if pn_is_rms:
+        raise ValueError(f"{where}: pred_head LayerNorm expected")
+    params["pred_norm"] = pn_p
+
+    params["pred_head"] = pred
+
+    inferred = {
+        "embed_dim": int(embed_dim),
+        "in_dim": int(in_dim),
+        "hidden_dim": int(hidden_dim),
+        "n_layers": len(pairs),
+        "num_tokens": int(params["logit_bias"].shape[0]),
+        "codebook_size": int(params["logit_bias"].shape[1]) - 1,
+        "n_classes": int(params["class_emb"]["embedding"].shape[0]) - 1,
+        "use_rmsnorm": bool(use_rmsnorm),
+        "force_projections": force_projections,
+        # heads are not recoverable from shapes (inner = heads*64); the
+        # reshape is head-count-dependent, so it must match the config
+        "heads_times_dim_head": int(
+            params["block_0"]["Dense_0"]["kernel"].shape[1]
+        ),
+    }
+    return params, stats, inferred
+
+
+def stage2_from_state_dict(sd: Dict[str, np.ndarray]):
+    """Reference stage2.ckpt (Lightning ExpMaskGIT: maskgit.transformer_l /
+    maskgit.transformer_h, stage2.py:28 + maskgit.py:87-105) -> (params
+    {'l','h'}, h_stats, inferred) matching this repo's stage-2 checkpoint
+    layout (runner.train_stage2: {'params', 'h_stats', 'step'}). Frozen
+    stage-1 keys inside the checkpoint are ignored."""
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    # locate the transformer prefixes ('maskgit.transformer_l.' in the
+    # Lightning tree; bare 'transformer_l.' in a raw MaskGIT state dict)
+    prefix = None
+    for k in sd:
+        marker = "transformer_l."
+        at = k.find(marker)
+        if at >= 0:
+            prefix = k[:at]
+            break
+    if prefix is None:
+        raise ValueError(
+            "no transformer_l.* keys found — not a stage-2 checkpoint?"
+        )
+    p_l, s_l, inf_l = _prior_from_state_dict(
+        _subtree(sd, prefix + "transformer_l"), "lf"
+    )
+    p_h, s_h, inf_h = _prior_from_state_dict(
+        _subtree(sd, prefix + "transformer_h"), "hf"
+    )
+    if s_l:
+        raise ValueError(f"unexpected LF batch stats: {sorted(s_l)}")
+    inferred = {
+        "lf": inf_l, "hf": inf_h,
+        # one flag for both transformers: forcing is a no-op on a model
+        # whose dims already differ, so the union is safe
+        "force_projections": bool(inf_l["force_projections"]
+                                  or inf_h["force_projections"]),
+    }
+    return {"l": p_l, "h": p_h}, s_h, inferred
 
 
 def fcn_from_state_dict(sd: Dict[str, np.ndarray]):
