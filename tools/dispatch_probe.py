@@ -23,6 +23,13 @@ per-step wall clock goes, at the published geometry, all on-device data:
      round-3 regression (72 ms/step scan body vs 56 sequential). With
      --dump-hlo, writes both optimized HLO modules to --hlo-dir for fusion
      diffing.
+  F. snapshot interference: the full run snapshots a ~2.2 GB train state
+     at every val boundary (AsyncSnapshotter: on-device copy, then a
+     worker thread fetches + writes). The fetch shares the tunnel with
+     the dispatch stream — F measures the loop rate WITH one in-flight
+     snapshot and the snapshot's own fetch+write wall-clock. If the rate
+     collapses here, the round-3 "per-dispatch RTT" attribution was
+     wrong and the fix is snapshot cadence/placement, not dispatch.
 
 Usage (chip):
   python tools/dispatch_probe.py [--steps 200] [--bundle 10] [--dump-hlo]
@@ -163,6 +170,32 @@ def main():
         with open(f"{args.hlo_dir}/step.hlo", "w") as f:
             f.write(compiled.as_text())
         out["hlo_step"] = f"{args.hlo_dir}/step.hlo"
+
+    # ---- F: snapshot interference ----------------------------------------
+    import tempfile
+
+    from tvqvae_tpu.utils.checkpoint import AsyncSnapshotter
+
+    with tempfile.TemporaryDirectory() as td:
+        snap = AsyncSnapshotter(os.path.join(td, "snap"))
+        s0 = time.perf_counter()
+        snap(box[0])  # on-device copy + background fetch/write
+        copy_s = time.perf_counter() - s0
+        n_f = min(args.steps, 100)
+        t0 = time.perf_counter()
+        for _ in range(n_f):
+            box[0], m = gstep(box[0], (X_dev,), data_key, rng)
+        _state_drain(box)()
+        wall_f = time.perf_counter() - t0
+        s1 = time.perf_counter()
+        snap.join()
+        join_wait_s = time.perf_counter() - s1
+        out["F_steps_per_sec_with_snapshot_inflight"] = round(n_f / wall_f, 2)
+        out["F_snapshot_device_copy_s"] = round(copy_s, 2)
+        out["F_snapshot_total_fetch_write_s"] = round(
+            copy_s + wall_f + join_wait_s, 1
+        )
+        out["F_join_wait_after_loop_s"] = round(join_wait_s, 1)
 
     # ---- E: bundled scan loop -------------------------------------------
     if args.bundle > 1:
