@@ -65,11 +65,29 @@ def test_donation_safety(tmp_path):
     assert int(got["step"]) == 5
 
 
-def test_latest_snapshot_wins(tmp_path):
+def test_skip_while_in_flight_then_force_lands(tmp_path):
+    """Boundary policy (round 4): a boundary arriving while the previous
+    snapshot's fetch+write is still in flight is SKIPPED (never stall the
+    step loop — the join-at-boundary policy cost ~200 s/boundary in the
+    round-3 full run), and `force=True` (the final boundary) joins and
+    lands regardless."""
+    import threading
+
     path = os.path.join(tmp_path, "s.train")
     snap = AsyncSnapshotter(path)
-    for v in (1.0, 2.0, 7.0):
-        snap(_state(v))
+    gate = threading.Event()
+    orig_write = snap._write
+
+    def slow_write(s):
+        gate.wait(timeout=30)
+        orig_write(s)
+
+    snap._write = slow_write
+    snap(_state(1.0))
+    snap(_state(2.0))  # previous write blocked -> skipped
+    assert snap.skipped == 1
+    gate.set()
+    snap(_state(7.0), force=True)  # joins the in-flight write, then lands
     snap.join()
     got = load_train_state(path, jax.tree.map(np.zeros_like, _state(0.0)))
     assert float(np.max(got["w"])) == 7.0

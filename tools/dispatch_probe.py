@@ -55,9 +55,18 @@ def main():
     ap.add_argument("--dump-hlo", action="store_true")
     ap.add_argument("--hlo-dir", default="/tmp/dispatch_probe_hlo")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--sections", default="ABCDEF",
+                    help="which sections to run (string containing any of "
+                         "A B C D E F); B/C/D/E/F share the runner-style "
+                         "setup, A is independent")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (correctness/smoke only)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # persistent compile cache (same as bench.py)
@@ -84,6 +93,20 @@ def main():
                         "fast_bn": True}}
 
     # ---- A: bench-style fixed-input loop --------------------------------
+    if "A" in args.sections:
+        _section_a(args, cfg, dtype, out)
+    if set(args.sections) & set("BCDEF"):
+        _sections_bcdef(args, cfg, dtype, out)
+    print(json.dumps(out))
+
+
+def _section_a(args, cfg, dtype, out):
+    import jax
+    import numpy as np
+
+    from bench import setup_stage1, _state_drain, _chunk_rates
+
+    B, C, L = args.B, args.C, args.L
     spec, model, step, state, x = setup_stage1(
         cfg, B, C, L, compute_dtype=dtype, fast_bn=True
     )
@@ -102,6 +125,28 @@ def main():
         float(np.percentile(rates, 50)), 2
     )
     del box, state
+
+
+def _sections_bcdef(args, cfg, dtype, out):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import setup_stage1, _state_drain
+    from tvqvae_tpu.parallel import make_mesh, replicate_tree
+    from tvqvae_tpu.train import make_stage1_train_step
+    from tvqvae_tpu.train.runner import (
+        device_train_array,
+        make_device_data_step,
+        make_multistep,
+    )
+
+    import os
+
+    B, C, L = args.B, args.C, args.L
+    rng = jax.random.key(1)
 
     # ---- B/C/D: runner-style device-data loop ---------------------------
     mesh = make_mesh()
@@ -125,80 +170,58 @@ def main():
     _state_drain(box)()
 
     # C: dispatch-return times + B: end-to-end rate with emit plumbing
-    from tvqvae_tpu.utils.profiling import StepTimer
+    if set(args.sections) & set("BC"):
+        from tvqvae_tpu.utils.profiling import StepTimer
 
-    timer = StepTimer()
-    disp = []
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        d0 = time.perf_counter()
-        box[0], metrics = gstep(box[0], (X_dev,), data_key, rng)
-        disp.append(time.perf_counter() - d0)
-        timer.tick()  # runner emit() does this every step
-    _state_drain(box)()
-    wall = time.perf_counter() - t0
-    out["B_runner_style_steps_per_sec"] = round(args.steps / wall, 2)
-    out["C_dispatch_return_ms"] = {
-        "p50": round(float(np.percentile(disp, 50)) * 1e3, 2),
-        "p90": round(float(np.percentile(disp, 90)) * 1e3, 2),
-        "max": round(float(np.max(disp)) * 1e3, 2),
-        "mean": round(float(np.mean(disp)) * 1e3, 2),
-    }
+        timer = StepTimer()
+        disp = []
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            d0 = time.perf_counter()
+            box[0], metrics = gstep(box[0], (X_dev,), data_key, rng)
+            disp.append(time.perf_counter() - d0)
+            timer.tick()  # runner emit() does this every step
+        _state_drain(box)()
+        wall = time.perf_counter() - t0
+        out["B_runner_style_steps_per_sec"] = round(args.steps / wall, 2)
+        out["C_dispatch_return_ms"] = {
+            "p50": round(float(np.percentile(disp, 50)) * 1e3, 2),
+            "p90": round(float(np.percentile(disp, 90)) * 1e3, 2),
+            "max": round(float(np.max(disp)) * 1e3, 2),
+            "mean": round(float(np.mean(disp)) * 1e3, 2),
+        }
 
     # D: AOT-compiled call (skips jit dispatch-cache path)
-    compiled = gstep.lower(box[0], (X_dev,), data_key, rng).compile()
-    for _ in range(5):
-        box[0], m = compiled(box[0], (X_dev,), data_key, rng)
-    _state_drain(box)()
-    dispd = []
-    t0 = time.perf_counter()
-    for i in range(min(args.steps, 100)):
-        d0 = time.perf_counter()
-        box[0], m = compiled(box[0], (X_dev,), data_key, rng)
-        dispd.append(time.perf_counter() - d0)
-    _state_drain(box)()
-    wall_d = time.perf_counter() - t0
-    out["D_aot_steps_per_sec"] = round(min(args.steps, 100) / wall_d, 2)
-    out["D_aot_dispatch_return_ms_p50"] = round(
-        float(np.percentile(dispd, 50)) * 1e3, 2
-    )
+    if "D" in args.sections:
+        compiled = gstep.lower(box[0], (X_dev,), data_key, rng).compile()
+        for _ in range(5):
+            box[0], m = compiled(box[0], (X_dev,), data_key, rng)
+        _state_drain(box)()
+        dispd = []
+        t0 = time.perf_counter()
+        for i in range(min(args.steps, 100)):
+            d0 = time.perf_counter()
+            box[0], m = compiled(box[0], (X_dev,), data_key, rng)
+            dispd.append(time.perf_counter() - d0)
+        _state_drain(box)()
+        wall_d = time.perf_counter() - t0
+        out["D_aot_steps_per_sec"] = round(min(args.steps, 100) / wall_d, 2)
+        out["D_aot_dispatch_return_ms_p50"] = round(
+            float(np.percentile(dispd, 50)) * 1e3, 2
+        )
 
-    if args.dump_hlo:
-        import os
-
-        os.makedirs(args.hlo_dir, exist_ok=True)
-        with open(f"{args.hlo_dir}/step.hlo", "w") as f:
-            f.write(compiled.as_text())
-        out["hlo_step"] = f"{args.hlo_dir}/step.hlo"
+        if args.dump_hlo:
+            os.makedirs(args.hlo_dir, exist_ok=True)
+            with open(f"{args.hlo_dir}/step.hlo", "w") as f:
+                f.write(compiled.as_text())
+            out["hlo_step"] = f"{args.hlo_dir}/step.hlo"
 
     # ---- F: snapshot interference ----------------------------------------
-    import tempfile
-
-    from tvqvae_tpu.utils.checkpoint import AsyncSnapshotter
-
-    with tempfile.TemporaryDirectory() as td:
-        snap = AsyncSnapshotter(os.path.join(td, "snap"))
-        s0 = time.perf_counter()
-        snap(box[0])  # on-device copy + background fetch/write
-        copy_s = time.perf_counter() - s0
-        n_f = min(args.steps, 100)
-        t0 = time.perf_counter()
-        for _ in range(n_f):
-            box[0], m = gstep(box[0], (X_dev,), data_key, rng)
-        _state_drain(box)()
-        wall_f = time.perf_counter() - t0
-        s1 = time.perf_counter()
-        snap.join()
-        join_wait_s = time.perf_counter() - s1
-        out["F_steps_per_sec_with_snapshot_inflight"] = round(n_f / wall_f, 2)
-        out["F_snapshot_device_copy_s"] = round(copy_s, 2)
-        out["F_snapshot_total_fetch_write_s"] = round(
-            copy_s + wall_f + join_wait_s, 1
-        )
-        out["F_join_wait_after_loop_s"] = round(join_wait_s, 1)
+    if "F" in args.sections:
+        _section_f(args, out, box, gstep, X_dev, data_key, rng)
 
     # ---- E: bundled scan loop -------------------------------------------
-    if args.bundle > 1:
+    if "E" in args.sections and args.bundle > 1:
         mstep = jax.jit(
             make_multistep(dstep, args.bundle), donate_argnums=0
         )
@@ -216,12 +239,50 @@ def main():
         )
         out["E_bundle"] = args.bundle
         if args.dump_hlo:
+            os.makedirs(args.hlo_dir, exist_ok=True)
             ce = mstep.lower(box[0], (X_dev,), data_key, rng).compile()
             with open(f"{args.hlo_dir}/bundled.hlo", "w") as f:
                 f.write(ce.as_text())
             out["hlo_bundled"] = f"{args.hlo_dir}/bundled.hlo"
 
-    print(json.dumps(out))
+
+def _section_f(args, out, box, gstep, X_dev, data_key, rng):
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from bench import _state_drain
+    from tvqvae_tpu.utils.checkpoint import AsyncSnapshotter
+
+    with tempfile.TemporaryDirectory() as td:
+        snap = AsyncSnapshotter(os.path.join(td, "snap"))
+        s0 = time.perf_counter()
+        snap(box[0])  # on-device copy + background fetch/write
+        copy_s = time.perf_counter() - s0
+        n_f = min(args.steps, 100)
+        t0 = time.perf_counter()
+        for i in range(n_f):
+            box[0], m = gstep(box[0], (X_dev,), data_key, rng)
+            if i == n_f // 2:
+                s2 = time.perf_counter()
+                snap(box[0])  # skips if the first fetch is still in flight
+                out["F_midloop_snapshot_call_s"] = round(
+                    time.perf_counter() - s2, 3
+                )
+        _state_drain(box)()
+        wall_f = time.perf_counter() - t0
+        s1 = time.perf_counter()
+        snap.join()
+        join_wait_s = time.perf_counter() - s1
+        out["F_steps_per_sec_with_snapshot_inflight"] = round(n_f / wall_f, 2)
+        out["F_snapshot_device_copy_s"] = round(copy_s, 2)
+        out["F_snapshot_total_fetch_write_s"] = round(
+            copy_s + wall_f + join_wait_s, 1
+        )
+        out["F_join_wait_after_loop_s"] = round(join_wait_s, 1)
+        out["F_snapshot_skipped"] = snap.skipped
 
 
 def _tx(cfg):

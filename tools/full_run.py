@@ -79,6 +79,9 @@ def main():
                          "lax.scan; hides per-step dispatch latency)")
     ap.add_argument("--bundle3", type=int, default=1,
                     help="stage-3 bundle width (precomputed-x' path)")
+    ap.add_argument("--bf16_mu", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="AdamW first moment in bfloat16 (all stages)")
     ap.add_argument("--fast_bn", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="fast BatchNorm/GroupNorm (compute-dtype "
@@ -126,7 +129,8 @@ def main():
     os.makedirs(ckpt, exist_ok=True)
     paths = {s: os.path.join(ckpt, f"stage{s}") for s in ("1", "2", "3")}
     paths["fcn"] = os.path.join(ckpt, "fcn")
-    res = {"scale": args.scale, "bf16": not args.fp32}
+    res = {"scale": args.scale, "bf16": not args.fp32,
+           "fast_bn": args.fast_bn, "bf16_mu": args.bf16_mu}
     dtype = "float32" if args.fp32 else "bfloat16"
 
     from tvqvae_tpu.train import runner
@@ -137,7 +141,8 @@ def main():
         runner.train_stage1(cfg, data, paths["1"], None,
                             compute_dtype=dtype,
                             bundle_steps=args.bundle1,
-                            fast_bn=args.fast_bn)
+                            fast_bn=args.fast_bn,
+                            bf16_mu=args.bf16_mu)
         dt = time.time() - t0
         res["stage1_minutes"] = round(dt / 60, 2)
         res["stage1_steps_per_s"] = round(budgets["stage1"] / dt, 2)
@@ -145,7 +150,8 @@ def main():
     if "2" in stages:
         t0 = time.time()
         runner.train_stage2(cfg, data, paths["1"], paths["2"], None,
-                            bundle_steps=args.bundle2)
+                            bundle_steps=args.bundle2,
+                            bf16_mu=args.bf16_mu)
         dt = time.time() - t0
         res["stage2_minutes"] = round(dt / 60, 2)
         res["stage2_steps_per_s"] = round(budgets["stage2"] / dt, 2)
@@ -155,7 +161,8 @@ def main():
         runner.train_stage3(cfg, data, paths["1"], paths["3"], None,
                             bundle_steps=args.bundle3,
                             compute_dtype=dtype,
-                            fast_norm=args.fast_bn)
+                            fast_norm=args.fast_bn,
+                            bf16_mu=args.bf16_mu)
         dt = time.time() - t0
         res["stage3_minutes"] = round(dt / 60, 2)
         res["stage3_steps_per_s"] = round(budgets["stage3"] / dt, 2)

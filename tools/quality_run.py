@@ -52,6 +52,9 @@ def main():
                          "use --no-fast_bn to quality-gate the OFF arm)")
     ap.add_argument("--bf16", action="store_true",
                     help="train the stage-1 conv stacks in bfloat16")
+    ap.add_argument("--bf16_mu", action="store_true",
+                    help="AdamW first moment in bfloat16 (all stages) — "
+                         "quality-gate arm for the bench.py --bf16_mu lever")
     ap.add_argument("--ess", action="store_true",
                     help="also time the ESS sampler on the trained ckpts")
     ap.add_argument("--n_eval", type=int, default=256)
@@ -93,10 +96,13 @@ def main():
         # omitting the flag would silently train the ON arm while the
         # summary recorded False (ADVICE r3 #1)
         argv.append("--fast_bn" if args.fast_bn else "--no-fast_bn")
+        if args.bf16_mu:
+            argv.append("--bf16_mu")
         train_main(argv)
     train_minutes = (time.time() - t0) / 60.0
     print(json.dumps({"train_minutes": round(train_minutes, 1),
-                      "bf16": args.bf16}), flush=True)
+                      "bf16": args.bf16, "bf16_mu": args.bf16_mu,
+                      "fast_bn": args.fast_bn}), flush=True)
 
     # --- FID ladder ----------------------------------------------------------
     from tvqvae_tpu.evaluation import Metrics
@@ -179,6 +185,7 @@ def main():
     res["train_minutes"] = train_minutes
     res["bf16"] = args.bf16
     res["fast_bn"] = args.fast_bn
+    res["bf16_mu"] = args.bf16_mu
     print("SUMMARY " + json.dumps(
         {k: (round(float(v), 5) if isinstance(v, (int, float)) and
              not isinstance(v, bool) else v) for k, v in res.items()}

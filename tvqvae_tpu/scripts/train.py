@@ -53,6 +53,13 @@ def build_argparser():
                         "ON since round 3 (chip-measured +2%% at B=32, "
                         "quality ladder unchanged — PERF.md 'fast_bn'); "
                         "--no-fast_bn restores flax-default promotion")
+    p.add_argument("--bf16_mu", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="store the AdamW first moment in bfloat16 — the "
+                        "optimizer state is the top HBM consumer of the "
+                        "stage-1 step (chip-measured +2.4%% steps/s; "
+                        "PERF.md round-4). Off by default pending the "
+                        "quality gate")
     p.add_argument("--rbg_rng", action="store_true",
                    help="stage-1: use XLA's cheap counter-based (rbg) "
                         "generator for the training rng (dropout masks) "
@@ -133,6 +140,7 @@ def main(argv=None):
                     remat=args.remat,
                     rng_impl="rbg" if args.rbg_rng else None,
                     fast_bn=args.fast_bn,
+                    bf16_mu=args.bf16_mu,
                 )
             elif stage == "2":
                 runner.train_stage2(
@@ -141,6 +149,7 @@ def main(argv=None):
                     metrics=val_metrics,
                     precompute=not args.no_precompute,
                     bundle_steps=args.bundle_steps,
+                    bf16_mu=args.bf16_mu,
                 )
             elif stage == "3":
                 tau = 0.0
@@ -174,6 +183,7 @@ def main(argv=None):
                     bundle_steps=args.bundle_steps,
                     compute_dtype="bfloat16" if args.bf16 else "float32",
                     fast_norm=args.fast_bn,
+                    bf16_mu=args.bf16_mu,
                 )
             elif stage == "fcn":
                 runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)

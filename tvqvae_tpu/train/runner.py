@@ -217,6 +217,23 @@ def make_multistep(device_step, n_steps: int):
     return bundled
 
 
+def _adamw(cfg: Config, max_steps: int, bf16_mu: bool = False):
+    """AdamW with the reference warmup-cosine schedule. `bf16_mu` stores
+    the first moment in bfloat16: the AdamW update fusions are the top HBM
+    consumer of the stage-1 step (PERF.md 'Roofline gap'), and halving the
+    mu traffic is chip-measured at +2.4%% steps/s with the quality ladder
+    unchanged (PERF.md round-4). optax upcasts mu to fp32 inside the
+    update, so only storage precision changes; nu (the variance) stays
+    fp32 — its rsqrt is precision-sensitive."""
+    return optax.adamw(
+        warmup_cosine_schedule(
+            cfg.exp_params.lr, max_steps, cfg.exp_params.linear_warmup_rate
+        ),
+        weight_decay=0.01,
+        mu_dtype=jnp.bfloat16 if bf16_mu else None,
+    )
+
+
 # --------------------------------------------------------------------------
 # stage loops
 
@@ -303,6 +320,7 @@ def train_stage1(
     remat: bool = False,
     rng_impl: Optional[str] = None,
     fast_bn: bool = False,
+    bf16_mu: bool = False,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
@@ -316,12 +334,7 @@ def train_stage1(
     model, params, batch_stats, vq_l, vq_h = init_stage1(
         jax.random.key(seed), spec, x0
     )
-    tx = optax.adamw(
-        warmup_cosine_schedule(
-            cfg.exp_params.lr, max_steps, cfg.exp_params.linear_warmup_rate
-        ),
-        weight_decay=0.01,
-    )
+    tx = _adamw(cfg, max_steps, bf16_mu)
     state = create_stage1_state(params, batch_stats, vq_l, vq_h, tx)
     snap_path = save_path + ".train"
     start_step = 0
@@ -410,52 +423,82 @@ def train_stage1(
         from tvqvae_tpu.parallel.mesh import data_sharding
 
         Xe_dev = device_train_array(mesh, data.X_test)
+        m_dev = mesh.devices.size
+        bs_e = -(-min(batch_size, len(data.X_test)) // m_dev) * m_dev
+        N_e = len(data.X_test)
+        nb_e = -(-N_e // bs_e)
 
-        def _eval_gather(state, X_full, idx):
-            xe = jnp.take(X_full, idx, axis=0)
-            xe = jax.lax.with_sharding_constraint(
-                xe, data_sharding(mesh, xe.ndim)
+        def _eval_all(state, X_full):
+            """Full-split validation as ONE jitted program: lax.map over
+            fixed-shape batches with on-device indices and masked sums.
+            The per-batch variant this replaces uploaded an index array and
+            fetched every metric per batch — each transfer costs 0.5-1.5 s
+            on the relay-backed device (~20-30 s per val boundary at the
+            published geometry); this is one dispatch + one small fetch."""
+            flat = jnp.arange(nb_e * bs_e)
+            idx = (flat % N_e).reshape(nb_e, bs_e)
+            valid = (flat < N_e).reshape(nb_e, bs_e)
+
+            def body(args):
+                ib, vb = args
+                xe = jnp.take(X_full, ib, axis=0)
+                xe = jax.lax.with_sharding_constraint(
+                    xe, data_sharding(mesh, xe.ndim)
+                )
+                per, scalars, _ = eval_fn_raw(state, xe)
+                # wrap-padded tail entries are masked out before summing,
+                # so metrics are exact full-split means
+                psum = {k: jnp.sum(jnp.where(vb, v, 0.0))
+                        for k, v in per.items()}
+                return psum, scalars
+
+            psums, scalars = jax.lax.map(body, (idx, valid))
+            out = {k: jnp.sum(v) / N_e for k, v in psums.items()}
+            out.update({k: jnp.mean(v) for k, v in scalars.items()})
+            return out
+
+        eval_all = jax.jit(_eval_all)
+
+        def eval_once(step):
+            out = {k: float(v)
+                   for k, v in eval_all(state_box[0], Xe_dev).items()}
+            out["recons_loss.time"] = (
+                out["recons_loss.LF.time"] + out["recons_loss.HF.time"]
             )
-            return eval_fn_raw(state, xe)
-
-        eval_gather = jax.jit(_eval_gather)
+            # commit loss is 0 outside training (reference vq.py:362-366),
+            # so the reference's val loss reduces to the recon terms.
+            out["loss"] = out["recons_loss.time"]
+            return out
     else:
         eval_step = jax.jit(eval_fn_raw)
 
-    def eval_once(step):
-        """Validate over the FULL test split in fixed-shape batches (one
-        compiled program); the wrap-padded tail entries are dropped before
-        averaging, so metrics are exact full-split means."""
-        m = mesh.devices.size
-        bs = -(-min(batch_size, len(data.X_test)) // m) * m
-        N = len(data.X_test)
-        sums: dict = {}
-        scalar_sums: dict = {}
-        n_batches = 0
-        for s in range(0, N, bs):
-            idx = np.arange(s, s + bs) % N
-            real = min(bs, N - s)
-            if use_dev_data:
-                per, scalars, _ = eval_gather(
-                    state_box[0], Xe_dev, jnp.asarray(idx.astype(np.int32))
-                )
-            else:
+        def eval_once(step):
+            """Validate over the FULL test split in fixed-shape batches;
+            the wrap-padded tail entries are dropped before averaging, so
+            metrics are exact full-split means."""
+            m = mesh.devices.size
+            bs = -(-min(batch_size, len(data.X_test)) // m) * m
+            N = len(data.X_test)
+            sums: dict = {}
+            scalar_sums: dict = {}
+            n_batches = 0
+            for s in range(0, N, bs):
+                idx = np.arange(s, s + bs) % N
+                real = min(bs, N - s)
                 xe = shard_batch(mesh, jnp.asarray(data.X_test[idx]))
                 per, scalars, _ = eval_step(state_box[0], xe)
-            for k, v in per.items():
-                sums[k] = sums.get(k, 0.0) + float(jnp.sum(v[:real]))
-            for k, v in scalars.items():
-                scalar_sums[k] = scalar_sums.get(k, 0.0) + float(v)
-            n_batches += 1
-        out = {k: v / N for k, v in sums.items()}
-        out.update({k: v / n_batches for k, v in scalar_sums.items()})
-        out["recons_loss.time"] = (
-            out["recons_loss.LF.time"] + out["recons_loss.HF.time"]
-        )
-        # commit loss is 0 outside training (reference vq.py:362-366), so the
-        # reference's val loss reduces to the recon terms.
-        out["loss"] = out["recons_loss.time"]
-        return out
+                for k, v in per.items():
+                    sums[k] = sums.get(k, 0.0) + float(jnp.sum(v[:real]))
+                for k, v in scalars.items():
+                    scalar_sums[k] = scalar_sums.get(k, 0.0) + float(v)
+                n_batches += 1
+            out = {k: v / N for k, v in sums.items()}
+            out.update({k: v / n_batches for k, v in scalar_sums.items()})
+            out["recons_loss.time"] = (
+                out["recons_loss.LF.time"] + out["recons_loss.HF.time"]
+            )
+            out["loss"] = out["recons_loss.time"]
+            return out
 
     # Bundling must not drop configured steps: a remainder that doesn't fill
     # a bundle runs through a single-step tail program so the loop hits
@@ -488,7 +531,8 @@ def train_stage1(
     _loop("stage1", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage1", 5000),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: snapshotter(state_box[0]))
+          snapshot=lambda step: snapshotter(state_box[0],
+                                            force=step >= max_steps))
     snapshotter.join()
 
     state = state_box[0]
@@ -519,6 +563,7 @@ def train_stage2(
     resume: bool = True,
     precompute: bool = True,
     bundle_steps: int = 1,
+    bf16_mu: bool = False,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage2", 16)
@@ -528,12 +573,7 @@ def train_stage2(
     spec = MaskGITSpec.from_config(cfg, s1)
     t_l, t_h = build_transformers(cfg, s1, data.n_classes)
     params, h_stats = init_stage2(jax.random.key(seed), t_l, t_h, spec)
-    tx = optax.adamw(
-        warmup_cosine_schedule(
-            cfg.exp_params.lr, max_steps, cfg.exp_params.linear_warmup_rate
-        ),
-        weight_decay=0.01,
-    )
+    tx = _adamw(cfg, max_steps, bf16_mu)
     state = create_stage2_state(params, h_stats, tx)
     snap_path = save_path + ".train"
     start_step = 0
@@ -668,7 +708,8 @@ def train_stage2(
     _loop("stage2", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage2", 10000),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: snapshotter(state_box[0]))
+          snapshot=lambda step: snapshotter(state_box[0],
+                                            force=step >= max_steps))
     snapshotter.join()
 
     state = state_box[0]
@@ -701,6 +742,7 @@ def train_stage3(
     bundle_steps: int = 1,
     compute_dtype: str = "float32",
     fast_norm: bool = False,
+    bf16_mu: bool = False,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
@@ -719,12 +761,7 @@ def train_stage3(
     )
     x0 = jnp.asarray(data.X_train[: min(4, batch_size)])
     params = init_stage3(jax.random.key(seed), fe, x0)
-    tx = optax.adamw(
-        warmup_cosine_schedule(
-            cfg.exp_params.lr, max_steps, cfg.exp_params.linear_warmup_rate
-        ),
-        weight_decay=0.01,
-    )
+    tx = _adamw(cfg, max_steps, bf16_mu)
     state = create_stage3_state(params, tx, tau)
     snap_path = save_path + ".train"
     start_step = 0
@@ -895,7 +932,8 @@ def train_stage3(
     _loop("stage3", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage3", 2500),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: snapshotter(state_box[0]))
+          snapshot=lambda step: snapshotter(state_box[0],
+                                            force=step >= max_steps))
     snapshotter.join()
 
     state = state_box[0]

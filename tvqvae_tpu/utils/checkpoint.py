@@ -129,12 +129,22 @@ class AsyncSnapshotter:
     (181.4M params fp32 + two AdamW moments); a synchronous
     `save_train_state` stalls the step loop for the whole device->host
     fetch + disk write — minutes per boundary through a slow host link.
-    `__call__` instead (1) joins any in-flight snapshot (so every boundary
-    still lands, worst case degrading to the old synchronous behavior),
-    (2) copies the state ON-DEVICE (HBM->HBM, milliseconds) so the training
-    loop may immediately donate its buffers to the next step, and (3) hands
-    the copy to a worker thread for the fetch + atomic write. Call `join()`
-    before the final `save_checkpoint` / before reading the snapshot file.
+    `__call__` instead (1) SKIPS the boundary if the previous snapshot's
+    fetch+write is still in flight (a snapshot is a recovery point, not a
+    ledger — never stall the step loop for one; `force=True` joins instead,
+    for the final boundary), (2) copies the state ON-DEVICE as ONE jitted
+    program (HBM->HBM; the round-3 per-leaf `.copy()` cost ~30 s of
+    per-leaf dispatch on the relay-backed device — the jitted copy is one
+    dispatch) so the training loop may immediately donate its buffers to
+    the next step, and (3) hands the copy to a worker thread for the
+    fetch + atomic write. Call `join()` before the final `save_checkpoint`
+    / before reading the snapshot file.
+
+    The join-at-boundary policy this replaces turned the 190-s snapshot
+    fetch into a synchronous stall whenever boundaries arrived closer than
+    the fetch took — measured as ~200 s/boundary = 33 of the 80 stage-1
+    minutes in the round-3 full-geometry run (PERF.md round-4 dispatch
+    probe, section F).
 
     Multi-host keeps the synchronous path: `save_train_state` barriers all
     processes, and running that barrier on a side thread could interleave
@@ -144,15 +154,35 @@ class AsyncSnapshotter:
     def __init__(self, path: str):
         self.path = path
         self._thread = None
+        self._copy_fn = None
+        self.skipped = 0
 
-    def __call__(self, state: Any) -> None:
+    def _device_copy(self, state: Any) -> Any:
+        """One jitted program copying every jax.Array leaf HBM->HBM."""
+        import jax.numpy as jnp
+
+        leaves, treedef = jax.tree.flatten(state)
+        is_arr = [isinstance(l, jax.Array) for l in leaves]
+        if self._copy_fn is None:
+            self._copy_fn = jax.jit(lambda xs: [jnp.copy(x) for x in xs])
+        copied = iter(self._copy_fn(
+            [l for l, a in zip(leaves, is_arr) if a]
+        ))
+        out = [next(copied) if a else l for l, a in zip(leaves, is_arr)]
+        return jax.tree.unflatten(treedef, out)
+
+    def __call__(self, state: Any, force: bool = False) -> None:
         if _process_count() > 1:
             save_train_state(self.path, state)
             return
+        if self._thread is not None and self._thread.is_alive():
+            if not force:
+                self.skipped += 1
+                print("[snapshot] previous snapshot still in flight; "
+                      "skipping this boundary")
+                return
         self.join()
-        snap = jax.tree.map(
-            lambda a: a.copy() if isinstance(a, jax.Array) else a, state
-        )
+        snap = self._device_copy(state)
         import threading
 
         self._thread = threading.Thread(
