@@ -289,7 +289,7 @@ def _state_drain(box):
     return drain
 
 def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
-                 fast_bn=False, bf16_mu=False):
+                 fast_bn=False, bf16_mu=False, bf16_nu=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -311,8 +311,10 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
     # bf16_mu probes the optimizer-state HBM traffic (the top consumer in
     # the fast_bn roofline: 181.4M fp32 params x ~28 B/param AdamW): first
     # moment in bf16 halves the mu read+write (~0.73 GB of ~31 GB/step).
-    tx = optax.adamw(warmup_cosine_schedule(1e-3, 50000), weight_decay=0.01,
-                     mu_dtype=jnp.bfloat16 if bf16_mu else None)
+    from tvqvae_tpu.train.optim import adamw as adamw_storage
+    tx = adamw_storage(warmup_cosine_schedule(1e-3, 50000), weight_decay=0.01,
+                       mu_dtype=jnp.bfloat16 if bf16_mu else None,
+                       nu_dtype=jnp.bfloat16 if bf16_nu else None)
     state = create_stage1_state(params, batch_stats, vq_l, vq_h, tx)
     step = jax.jit(make_stage1_train_step(model, tx), donate_argnums=0)
     return spec, model, step, state, x
@@ -320,7 +322,7 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
 
 def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
                  compute_dtype="float32", bundle=1, remat=False,
-                 fast_bn=False, bf16_mu=False):
+                 fast_bn=False, bf16_mu=False, bf16_nu=False):
     """Measures the per-step-dispatch training loop; with bundle > 1 ALSO
     measures the bundled lax.scan loop (runner `bundle_steps`).
 
@@ -338,7 +340,7 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
 
     spec, model, step, state, x = setup_stage1(
         cfg, B, C, L, compute_dtype, remat=remat, fast_bn=fast_bn,
-        bf16_mu=bf16_mu,
+        bf16_mu=bf16_mu, bf16_nu=bf16_nu,
     )
     rng = jax.random.key(1)
 
@@ -988,6 +990,10 @@ def main():
                          "mu_dtype) — targets the optimizer-state HBM "
                          "traffic, the top consumer in the fast_bn "
                          "roofline (PERF.md 'Roofline gap: bounded')")
+    ap.add_argument("--bf16_nu", action="store_true",
+                    help="store the AdamW second moment in bfloat16 "
+                         "(train.optim.adamw nu_dtype) — symmetric lever "
+                         "to --bf16_mu on the optimizer-state HBM traffic")
     ap.add_argument("--tpu-wait", type=float,
                     default=float(__import__("os").environ.get(
                         "BENCH_TPU_WAIT", 900.0)),
@@ -1055,7 +1061,8 @@ def main():
     s1, spec, state = bench_stage1(cfg, compute_dtype=dtype,
                                    bundle=args.bundle, remat=args.remat,
                                    fast_bn=args.fast_bn,
-                                   bf16_mu=args.bf16_mu)
+                                   bf16_mu=args.bf16_mu,
+                                   bf16_nu=args.bf16_nu)
     gen = bench_generation(cfg, spec, state)
 
     sps = s1["steps_per_sec_p50"]
@@ -1104,6 +1111,8 @@ def main():
         extra["fast_bn"] = True
     if args.bf16_mu:
         extra["bf16_mu"] = True
+    if args.bf16_nu:
+        extra["bf16_nu"] = True
     row = {
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),

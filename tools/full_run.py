@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--bf16_mu", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="AdamW first moment in bfloat16 (all stages)")
+    ap.add_argument("--bf16_nu", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="AdamW second moment in bfloat16 (all stages)")
     ap.add_argument("--fast_bn", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="fast BatchNorm/GroupNorm (compute-dtype "
@@ -130,7 +133,8 @@ def main():
     paths = {s: os.path.join(ckpt, f"stage{s}") for s in ("1", "2", "3")}
     paths["fcn"] = os.path.join(ckpt, "fcn")
     res = {"scale": args.scale, "bf16": not args.fp32,
-           "fast_bn": args.fast_bn, "bf16_mu": args.bf16_mu}
+           "fast_bn": args.fast_bn, "bf16_mu": args.bf16_mu,
+           "bf16_nu": args.bf16_nu}
     dtype = "float32" if args.fp32 else "bfloat16"
 
     from tvqvae_tpu.train import runner
@@ -142,7 +146,8 @@ def main():
                             compute_dtype=dtype,
                             bundle_steps=args.bundle1,
                             fast_bn=args.fast_bn,
-                            bf16_mu=args.bf16_mu)
+                            bf16_mu=args.bf16_mu,
+                            bf16_nu=args.bf16_nu)
         dt = time.time() - t0
         res["stage1_minutes"] = round(dt / 60, 2)
         res["stage1_steps_per_s"] = round(budgets["stage1"] / dt, 2)
@@ -151,7 +156,8 @@ def main():
         t0 = time.time()
         runner.train_stage2(cfg, data, paths["1"], paths["2"], None,
                             bundle_steps=args.bundle2,
-                            bf16_mu=args.bf16_mu)
+                            bf16_mu=args.bf16_mu,
+                            bf16_nu=args.bf16_nu)
         dt = time.time() - t0
         res["stage2_minutes"] = round(dt / 60, 2)
         res["stage2_steps_per_s"] = round(budgets["stage2"] / dt, 2)
@@ -162,7 +168,8 @@ def main():
                             bundle_steps=args.bundle3,
                             compute_dtype=dtype,
                             fast_norm=args.fast_bn,
-                            bf16_mu=args.bf16_mu)
+                            bf16_mu=args.bf16_mu,
+                            bf16_nu=args.bf16_nu)
         dt = time.time() - t0
         res["stage3_minutes"] = round(dt / 60, 2)
         res["stage3_steps_per_s"] = round(budgets["stage3"] / dt, 2)

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--bf16_mu", action="store_true",
                     help="AdamW first moment in bfloat16 (all stages) — "
                          "quality-gate arm for the bench.py --bf16_mu lever")
+    ap.add_argument("--bf16_nu", action="store_true",
+                    help="AdamW second moment in bfloat16 (all stages) — "
+                         "quality-gate arm for the bench.py --bf16_nu lever")
     ap.add_argument("--ess", action="store_true",
                     help="also time the ESS sampler on the trained ckpts")
     ap.add_argument("--n_eval", type=int, default=256)
@@ -98,10 +101,13 @@ def main():
         argv.append("--fast_bn" if args.fast_bn else "--no-fast_bn")
         if args.bf16_mu:
             argv.append("--bf16_mu")
+        if args.bf16_nu:
+            argv.append("--bf16_nu")
         train_main(argv)
     train_minutes = (time.time() - t0) / 60.0
     print(json.dumps({"train_minutes": round(train_minutes, 1),
                       "bf16": args.bf16, "bf16_mu": args.bf16_mu,
+                      "bf16_nu": args.bf16_nu,
                       "fast_bn": args.fast_bn}), flush=True)
 
     # --- FID ladder ----------------------------------------------------------

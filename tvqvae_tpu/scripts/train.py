@@ -60,6 +60,13 @@ def build_argparser():
                         "stage-1 step (chip-measured +2.4%% steps/s; "
                         "PERF.md round-4). Off by default pending the "
                         "quality gate")
+    p.add_argument("--bf16_nu", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="store the AdamW second moment in bfloat16 "
+                        "(train.optim.adamw) — the symmetric lever to "
+                        "--bf16_mu; update arithmetic stays fp32, only "
+                        "storage precision changes. Quality-gated like "
+                        "every lever (tools/quality_run.py --bf16_nu)")
     p.add_argument("--rbg_rng", action="store_true",
                    help="stage-1: use XLA's cheap counter-based (rbg) "
                         "generator for the training rng (dropout masks) "
@@ -141,6 +148,7 @@ def main(argv=None):
                     rng_impl="rbg" if args.rbg_rng else None,
                     fast_bn=args.fast_bn,
                     bf16_mu=args.bf16_mu,
+                    bf16_nu=args.bf16_nu,
                 )
             elif stage == "2":
                 runner.train_stage2(
@@ -150,6 +158,7 @@ def main(argv=None):
                     precompute=not args.no_precompute,
                     bundle_steps=args.bundle_steps,
                     bf16_mu=args.bf16_mu,
+                    bf16_nu=args.bf16_nu,
                 )
             elif stage == "3":
                 tau = 0.0
@@ -184,6 +193,7 @@ def main(argv=None):
                     compute_dtype="bfloat16" if args.bf16 else "float32",
                     fast_norm=args.fast_bn,
                     bf16_mu=args.bf16_mu,
+                    bf16_nu=args.bf16_nu,
                 )
             elif stage == "fcn":
                 runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)

@@ -217,20 +217,24 @@ def make_multistep(device_step, n_steps: int):
     return bundled
 
 
-def _adamw(cfg: Config, max_steps: int, bf16_mu: bool = False):
+def _adamw(cfg: Config, max_steps: int, bf16_mu: bool = False,
+           bf16_nu: bool = False):
     """AdamW with the reference warmup-cosine schedule. `bf16_mu` stores
     the first moment in bfloat16: the AdamW update fusions are the top HBM
     consumer of the stage-1 step (PERF.md 'Roofline gap'), and halving the
     mu traffic is chip-measured at +2.4%% steps/s with the quality ladder
-    unchanged (PERF.md round-4). optax upcasts mu to fp32 inside the
-    update, so only storage precision changes; nu (the variance) stays
-    fp32 — its rsqrt is precision-sensitive."""
-    return optax.adamw(
+    unchanged (PERF.md round-4). `bf16_nu` does the same for the second
+    moment (train.optim.adamw); update arithmetic stays fp32 in both cases
+    — only storage precision changes. Both OFF -> exact optax.adamw."""
+    from tvqvae_tpu.train.optim import adamw as adamw_storage
+
+    return adamw_storage(
         warmup_cosine_schedule(
             cfg.exp_params.lr, max_steps, cfg.exp_params.linear_warmup_rate
         ),
         weight_decay=0.01,
         mu_dtype=jnp.bfloat16 if bf16_mu else None,
+        nu_dtype=jnp.bfloat16 if bf16_nu else None,
     )
 
 
@@ -321,6 +325,7 @@ def train_stage1(
     rng_impl: Optional[str] = None,
     fast_bn: bool = False,
     bf16_mu: bool = False,
+    bf16_nu: bool = False,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
@@ -334,7 +339,7 @@ def train_stage1(
     model, params, batch_stats, vq_l, vq_h = init_stage1(
         jax.random.key(seed), spec, x0
     )
-    tx = _adamw(cfg, max_steps, bf16_mu)
+    tx = _adamw(cfg, max_steps, bf16_mu, bf16_nu)
     state = create_stage1_state(params, batch_stats, vq_l, vq_h, tx)
     snap_path = save_path + ".train"
     start_step = 0
@@ -564,6 +569,7 @@ def train_stage2(
     precompute: bool = True,
     bundle_steps: int = 1,
     bf16_mu: bool = False,
+    bf16_nu: bool = False,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage2", 16)
@@ -573,7 +579,7 @@ def train_stage2(
     spec = MaskGITSpec.from_config(cfg, s1)
     t_l, t_h = build_transformers(cfg, s1, data.n_classes)
     params, h_stats = init_stage2(jax.random.key(seed), t_l, t_h, spec)
-    tx = _adamw(cfg, max_steps, bf16_mu)
+    tx = _adamw(cfg, max_steps, bf16_mu, bf16_nu)
     state = create_stage2_state(params, h_stats, tx)
     snap_path = save_path + ".train"
     start_step = 0
@@ -743,6 +749,7 @@ def train_stage3(
     compute_dtype: str = "float32",
     fast_norm: bool = False,
     bf16_mu: bool = False,
+    bf16_nu: bool = False,
 ) -> str:
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
@@ -761,7 +768,7 @@ def train_stage3(
     )
     x0 = jnp.asarray(data.X_train[: min(4, batch_size)])
     params = init_stage3(jax.random.key(seed), fe, x0)
-    tx = _adamw(cfg, max_steps, bf16_mu)
+    tx = _adamw(cfg, max_steps, bf16_mu, bf16_nu)
     state = create_stage3_state(params, tx, tau)
     snap_path = save_path + ".train"
     start_step = 0
