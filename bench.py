@@ -59,6 +59,12 @@ _PEAK_FLOPS = {
 
 
 _LAST_GOOD_CACHE = "/tmp/bench_last_good.json"
+# /tmp does not survive VM restarts (observed 2026-08-19: a restart wiped
+# the round-4a cache mid-round); keep a repo-local replica as well
+_LAST_GOOD_REPO = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    ".bench_last_good.json",
+)
 
 
 def _emit_stale_and_exit(reason: str) -> None:
@@ -71,7 +77,7 @@ def _emit_stale_and_exit(reason: str) -> None:
 
     row = None
     src = None
-    for cand in (_LAST_GOOD_CACHE,
+    for cand in (_LAST_GOOD_CACHE, _LAST_GOOD_REPO,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_r02.json")):
         try:
@@ -153,11 +159,13 @@ def _driver_mode_guard(timeout_s: float) -> None:
 
 
 def _save_last_good(row: dict) -> None:
-    try:
-        with open(_LAST_GOOD_CACHE, "w") as f:
-            json.dump({**row, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S")}, f)
-    except OSError:
-        pass
+    stamped = {**row, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    for path in (_LAST_GOOD_CACHE, _LAST_GOOD_REPO):
+        try:
+            with open(path, "w") as f:
+                json.dump(stamped, f)
+        except OSError:
+            pass
 
 
 def _peak_flops():
