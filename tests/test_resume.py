@@ -70,10 +70,36 @@ def test_stage1_resume_continues(tmp_path):
     runner.train_stage1(cfg, data, p1, max_steps=8)
     assert os.path.exists(p1 + ".train")
 
-    # second run with a larger budget resumes from step 8 (prints resume
-    # message) instead of restarting
+    # second run with a larger budget resumes from the last MID-RUN
+    # snapshot (step 4 — the final boundary intentionally does not
+    # snapshot; see runner.py) instead of restarting from scratch
     runner.train_stage1(cfg, data, p1, max_steps=12)
     from tvqvae_tpu.utils.checkpoint import load_checkpoint
 
     tree, _ = load_checkpoint(p1)
     assert int(np.asarray(tree["step"])) == 12
+
+
+def test_stage1_completed_stage_skips(tmp_path, capsys):
+    """Re-invoking a COMPLETED stage returns immediately via the meta's
+    completed_step (idempotency for chipqueue/full_run re-runs) instead of
+    retraining from the last mid-run snapshot."""
+    X, y = make_synthetic_trajectories(n=24, channels=2, length=64)
+    data_path = str(tmp_path / "d.npz")
+    save_npz(data_path, X, y)
+    data = get_data(data_path, ["a", "b"])
+
+    p1 = str(tmp_path / "stage1")
+    cfg = tiny_cfg(val_interval=4)
+    runner.train_stage1(cfg, data, p1, max_steps=8)
+    import json
+
+    with open(p1 + ".meta.json") as f:
+        assert json.load(f)["completed_step"] == 8
+
+    mtime = os.path.getmtime(p1 + ".meta.json")
+    capsys.readouterr()
+    out_path = runner.train_stage1(cfg, data, p1, max_steps=8)
+    assert out_path == p1
+    assert "skipping" in capsys.readouterr().out
+    assert os.path.getmtime(p1 + ".meta.json") == mtime  # untouched

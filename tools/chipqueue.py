@@ -59,7 +59,12 @@ def _env():
     if env.get("PYTHONPATH"):
         parts.append(env["PYTHONPATH"])
     env["PYTHONPATH"] = ":".join(parts)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    # repo-local compile cache: /tmp does not survive VM restarts (observed
+    # 2026-08-19: a restart wiped the warm cache and the next full run paid
+    # ~10 min of cold remote compiles)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(repo, ".cache", "jax"))
+    os.makedirs(env["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     return env
 
 

@@ -71,7 +71,10 @@ def main():
 
     # persistent compile cache (same as bench.py)
     import os
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".cache", "jax"))
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -37,7 +37,10 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"))
+                  os.environ.get(
+                      "JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".cache", "jax")))
 
 
 def timed(fn, drain, chunks, chunk, tag=""):

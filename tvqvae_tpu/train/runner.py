@@ -10,6 +10,7 @@ LightningModule.
 """
 
 import dataclasses
+import json
 import os
 import time
 from typing import Optional
@@ -77,13 +78,42 @@ def codebook_from_dict(d: dict) -> CodebookState:
     )
 
 
-def config_meta(cfg: Config, data: DatasetSplits) -> dict:
-    return {
+def config_meta(cfg: Config, data: DatasetSplits,
+                completed_step: Optional[int] = None) -> dict:
+    meta = {
         "config": dataclasses.asdict(cfg),
         "input_length": int(data.input_length),
         "in_channels": int(data.in_channels),
         "n_classes": int(data.n_classes),
     }
+    if completed_step is not None:
+        meta["completed_step"] = int(completed_step)
+    return meta
+
+
+def _stage_completed(save_path: str, max_steps: int, resume: bool,
+                     name: str) -> bool:
+    """Stage idempotency via the checkpoint meta: a finished stage records
+    its completed step, so re-invoking the stage (chipqueue resume,
+    `full_run --stages` re-runs) returns immediately instead of retraining
+    from the last mid-run snapshot. This replaces the forced final-boundary
+    snapshot, whose only job was making re-invocation a no-op — at the cost
+    of serializing a full train-state fetch into every completed run
+    (2.2 GB / ~190 s at the published stage-1 geometry; PERF.md round-4
+    dispatch probe F)."""
+    if not resume:
+        return False
+    try:
+        with open(os.path.abspath(save_path) + ".meta.json") as f:
+            done = int(json.load(f).get("completed_step", -1))
+    except (OSError, ValueError, TypeError):
+        return False
+    if done >= max_steps:
+        print(f"[{name}] checkpoint already records completed_step {done} "
+              f">= max_steps {max_steps}; skipping (pass resume=False or "
+              f"delete the checkpoint to retrain)")
+        return True
+    return False
 
 
 # --------------------------------------------------------------------------
@@ -330,7 +360,10 @@ def train_stage1(
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
     max_steps = max_steps or cfg.trainer_params.max_steps["stage1"]
+    if _stage_completed(save_path, max_steps, resume, "stage1"):
+        return save_path
 
+    t_init = time.time()
     spec = Stage1Spec.from_config(
         cfg, data.input_length, data.in_channels, use_pallas=use_pallas,
         compute_dtype=compute_dtype, remat=remat, fast_bn=fast_bn,
@@ -339,6 +372,8 @@ def train_stage1(
     model, params, batch_stats, vq_l, vq_h = init_stage1(
         jax.random.key(seed), spec, x0
     )
+    print(f"[stage1] model init (incl. init-program compile): "
+          f"{time.time() - t_init:.1f}s")
     tx = _adamw(cfg, max_steps, bf16_mu, bf16_nu)
     state = create_stage1_state(params, batch_stats, vq_l, vq_h, tx)
     snap_path = save_path + ".train"
@@ -375,7 +410,12 @@ def train_stage1(
         # device-data step, so one host dispatch advances `bundle`
         # optimizer steps with per-step semantics intact (indices and
         # dropout keys both derive from state.step inside the scan).
+        t_up = time.time()
         X_dev = device_train_array(mesh, data.X_train)
+        jax.block_until_ready(X_dev)
+        print(f"[stage1] train split -> HBM: "
+              f"{data.X_train.nbytes / 1e6:.0f} MB in "
+              f"{time.time() - t_up:.1f}s")
         data_key = jax.random.key(seed + 2)
         dstep = make_device_data_step(
             make_stage1_train_step(model, tx), mesh,
@@ -532,15 +572,22 @@ def train_stage1(
                 state_box[0], m = single_step(state_box[0], xb, rng)
                 return m
 
+    # The FINAL boundary does NOT snapshot: save_checkpoint below is the
+    # stage artifact, and completed-stage idempotency now comes from the
+    # meta's completed_step (_stage_completed) — the old forced snapshot
+    # serialized a 2.2 GB state fetch (~190 s) into every completed run.
     snapshotter = AsyncSnapshotter(snap_path)
+    t_loop = time.time()
     _loop("stage1", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage1", 5000),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: snapshotter(state_box[0],
-                                            force=step >= max_steps))
+          snapshot=lambda step: (snapshotter(state_box[0])
+                                 if step < max_steps else None))
+    t_join = time.time()
     snapshotter.join()
 
     state = state_box[0]
+    t_save = time.time()
     save_checkpoint(
         save_path,
         {
@@ -550,8 +597,10 @@ def train_stage1(
             "vq_h": codebook_to_dict(state.vq_h),
             "step": np.asarray(state.step),
         },
-        meta=config_meta(cfg, data),
+        meta=config_meta(cfg, data, completed_step=state.step),
     )
+    print(f"[stage1] loop {t_join - t_loop:.1f}s, snapshot-join "
+          f"{t_save - t_join:.1f}s, ckpt-save {time.time() - t_save:.1f}s")
     return save_path
 
 
@@ -574,6 +623,8 @@ def train_stage2(
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage2", 16)
     max_steps = max_steps or cfg.trainer_params.max_steps["stage2"]
+    if _stage_completed(save_path, max_steps, resume, "stage2"):
+        return save_path
 
     model, frozen, s1, _ = load_stage1_bundle(cfg, stage1_ckpt)
     spec = MaskGITSpec.from_config(cfg, s1)
@@ -710,12 +761,13 @@ def train_stage2(
                 "running_metrics/KD": kd,
             }
 
+    # final boundary does not snapshot — see the stage-1 note
     snapshotter = AsyncSnapshotter(snap_path)
     _loop("stage2", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage2", 10000),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: snapshotter(state_box[0],
-                                            force=step >= max_steps))
+          snapshot=lambda step: (snapshotter(state_box[0])
+                                 if step < max_steps else None))
     snapshotter.join()
 
     state = state_box[0]
@@ -726,7 +778,7 @@ def train_stage2(
             "h_stats": state.h_stats,
             "step": np.asarray(state.step),
         },
-        meta=config_meta(cfg, data),
+        meta=config_meta(cfg, data, completed_step=state.step),
     )
     return save_path
 
@@ -754,6 +806,8 @@ def train_stage3(
     mesh = make_mesh()
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
     max_steps = max_steps or cfg.trainer_params.max_steps["stage3"]
+    if _stage_completed(save_path, max_steps, resume, "stage3"):
+        return save_path
 
     model, frozen, s1, _ = load_stage1_bundle(cfg, stage1_ckpt)
     fe = FidelityEnhancer(
@@ -935,12 +989,13 @@ def train_stage3(
                 out[f"running_metrics/KD{tag}"] = kd
             return out
 
+    # final boundary does not snapshot — see the stage-1 note
     snapshotter = AsyncSnapshotter(snap_path)
     _loop("stage3", max_steps, train_once, eval_once, logger,
           cfg.trainer_params.val_check_interval.get("stage3", 2500),
           start_step=start_step, stride=bundle, train_tail=train_tail,
-          snapshot=lambda step: snapshotter(state_box[0],
-                                            force=step >= max_steps))
+          snapshot=lambda step: (snapshotter(state_box[0])
+                                 if step < max_steps else None))
     snapshotter.join()
 
     state = state_box[0]
@@ -951,7 +1006,7 @@ def train_stage3(
             "tau": np.asarray(state.tau),
             "step": np.asarray(state.step),
         },
-        meta=config_meta(cfg, data),
+        meta=config_meta(cfg, data, completed_step=state.step),
     )
     return save_path
 

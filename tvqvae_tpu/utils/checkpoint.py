@@ -132,7 +132,9 @@ class AsyncSnapshotter:
     `__call__` instead (1) SKIPS the boundary if the previous snapshot's
     fetch+write is still in flight (a snapshot is a recovery point, not a
     ledger — never stall the step loop for one; `force=True` joins instead,
-    for the final boundary), (2) copies the state ON-DEVICE as ONE jitted
+    for callers that must land a specific snapshot — the runner's final
+    boundary no longer snapshots at all: the stage checkpoint + its meta
+    completed_step supersede it), (2) copies the state ON-DEVICE as ONE jitted
     program (HBM->HBM; the round-3 per-leaf `.copy()` cost ~30 s of
     per-leaf dispatch on the relay-backed device — the jitted copy is one
     dispatch) so the training loop may immediately donate its buffers to
