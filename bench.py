@@ -1007,11 +1007,14 @@ def main():
                          "since round 3: chip-measured 18.00 vs 17.65 "
                          "steps/s in adjacent windows and the L=512 quality "
                          "ladder holds (PERF.md); --no-fast_bn opts out")
-    ap.add_argument("--bf16_mu", action="store_true",
-                    help="PROBE: AdamW first moment in bf16 (optax "
-                         "mu_dtype) — targets the optimizer-state HBM "
-                         "traffic, the top consumer in the fast_bn "
-                         "roofline (PERF.md 'Roofline gap: bounded')")
+    ap.add_argument("--bf16_mu", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="AdamW first moment in bf16 (optax mu_dtype) — "
+                         "targets the optimizer-state HBM traffic, the top "
+                         "consumer in the fast_bn roofline (PERF.md "
+                         "'Roofline gap: bounded'). Default ON since round "
+                         "4: +2.4%% steps/s and the L=512 quality gate "
+                         "PASSED; --no-bf16_mu restores fp32 state")
     ap.add_argument("--bf16_nu", action="store_true",
                     help="store the AdamW second moment in bfloat16 "
                          "(train.optim.adamw nu_dtype) — symmetric lever "
@@ -1117,10 +1120,12 @@ def main():
         ),
         "full_geometry_run_measured": (
             "published budgets 50k/200k/50k at L=4633/hid-128 trained "
-            "end-to-end on this chip in 117.3 min (round 3, "
-            "tools/full_run.py; stage-2 693 steps/s via precomputed "
-            "tokens); FID ladder at full geometry: floor 0.0002, rec "
-            "0.0004, gen 0.0028, noise 0.94; IS 3.65 — see PERF.md"
+            "end-to-end on this chip in 107.5 min ALL-COLD-COMPILE "
+            "(round-4 run #3, tools/full_run.py; stage-1 steady "
+            "segments at the 18.1 steps/s device rate, stage-2 via "
+            "precomputed tokens); FID ladder at full geometry: floor "
+            "0.0002, rec 0.0006, gen 0.0033, noise 0.94; IS 3.82 — "
+            "see PERF.md"
         ),
     }
     if "mfu_vs_bf16_peak" in s1:
@@ -1161,8 +1166,10 @@ def main():
             / rl["measured_step_ms"], 1
         )
     if not args.fp32 and not args.remat and args.fast_bn \
-            and not args.bf16_mu and args.bundle == 1:
-        _save_last_good(row)  # stale-fallback source for outage windows
+            and args.bf16_mu and not args.bf16_nu and args.bundle == 1:
+        # production-default run (fast_bn + bf16_mu since round 4):
+        # stale-fallback source for outage windows
+        _save_last_good(row)
     if _RUN_DONE is not None:
         _RUN_DONE.set()  # disarm the whole-run watchdog: real line follows
     print(json.dumps(row))

@@ -65,7 +65,15 @@ def main():
     })
 
     ckpt = os.path.join(outdir, f"np{nproc}", "stage1")
-    runner.train_stage1(cfg, data, ckpt, None, seed=0)
+    # data_on_device=False pins BOTH arms to the host make_batches feed:
+    # cross-process-count equivalence holds because make_batches' shuffle
+    # RNG is host-identical — that host-path contract is what this test
+    # asserts. The single-process DEFAULT is the device-resident feed,
+    # whose batch order comes from a *device threefry* stream instead
+    # (runner.device_epoch_indices; documented non-semantic deviation), so
+    # leaving the default on would compare two different batch sequences.
+    runner.train_stage1(cfg, data, ckpt, None, seed=0,
+                        data_on_device=False)
 
     # every process restores the (primary-written) checkpoint: a non-primary
     # process reading it back IS the "restore anywhere" claim

@@ -83,8 +83,9 @@ def main():
     ap.add_argument("--bundle3", type=int, default=1,
                     help="stage-3 bundle width (precomputed-x' path)")
     ap.add_argument("--bf16_mu", action=argparse.BooleanOptionalAction,
-                    default=False,
-                    help="AdamW first moment in bfloat16 (all stages)")
+                    default=True,
+                    help="AdamW first moment in bfloat16 (all stages) — "
+                         "round-4 production default (quality gate PASSED)")
     ap.add_argument("--bf16_nu", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="AdamW second moment in bfloat16 (all stages)")

@@ -52,14 +52,25 @@ def main():
                          "use --no-fast_bn to quality-gate the OFF arm)")
     ap.add_argument("--bf16", action="store_true",
                     help="train the stage-1 conv stacks in bfloat16")
-    ap.add_argument("--bf16_mu", action="store_true",
+    ap.add_argument("--bf16_mu", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="AdamW first moment in bfloat16 (all stages) — "
-                         "quality-gate arm for the bench.py --bf16_mu lever")
+                         "quality-gate arm for the bench.py --bf16_mu lever; "
+                         "default ON to match the round-4 production default "
+                         "(use --no-bf16_mu to gate the fp32-state arm)")
     ap.add_argument("--bf16_nu", action="store_true",
                     help="AdamW second moment in bfloat16 (all stages) — "
                          "quality-gate arm for the bench.py --bf16_nu lever")
     ap.add_argument("--ess", action="store_true",
                     help="also time the ESS sampler on the trained ckpts")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init + training RNG, passed to "
+                         "train.py --seed) and sampling-seed offset; the "
+                         "synthetic DATASET seed stays fixed so seed-varied "
+                         "runs measure training noise on the same task — "
+                         "the lever for measuring the run-to-run FID "
+                         "spread that quality-gates optimizer-precision "
+                         "default flips")
     ap.add_argument("--n_eval", type=int, default=256)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse checkpoints already in workdir")
@@ -99,15 +110,15 @@ def main():
         # omitting the flag would silently train the ON arm while the
         # summary recorded False (ADVICE r3 #1)
         argv.append("--fast_bn" if args.fast_bn else "--no-fast_bn")
-        if args.bf16_mu:
-            argv.append("--bf16_mu")
+        argv.append("--bf16_mu" if args.bf16_mu else "--no-bf16_mu")
         if args.bf16_nu:
             argv.append("--bf16_nu")
+        argv += ["--seed", str(args.seed)]
         train_main(argv)
     train_minutes = (time.time() - t0) / 60.0
     print(json.dumps({"train_minutes": round(train_minutes, 1),
                       "bf16": args.bf16, "bf16_mu": args.bf16_mu,
-                      "bf16_nu": args.bf16_nu,
+                      "bf16_nu": args.bf16_nu, "seed": args.seed,
                       "fast_bn": args.fast_bn}), flush=True)
 
     # --- FID ladder ----------------------------------------------------------
@@ -143,7 +154,7 @@ def main():
         metrics.z_train, metrics.z_gen_fn(xrec)
     )
     sampler.use_fe = False  # raw samples first; enhance() them separately
-    _, _, xgen = sampler.sample(n, seed=1)
+    _, _, xgen = sampler.sample(n, seed=1 + args.seed)
     xgen_fe = sampler.enhance(xgen)
     res["fid_gen"] = metrics.fid_score(
         metrics.z_train, metrics.z_gen_fn(xgen)
@@ -192,6 +203,8 @@ def main():
     res["bf16"] = args.bf16
     res["fast_bn"] = args.fast_bn
     res["bf16_mu"] = args.bf16_mu
+    res["bf16_nu"] = args.bf16_nu
+    res["seed"] = args.seed
     print("SUMMARY " + json.dumps(
         {k: (round(float(v), 5) if isinstance(v, (int, float)) and
              not isinstance(v, bool) else v) for k, v in res.items()}
