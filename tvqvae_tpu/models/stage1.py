@@ -244,10 +244,16 @@ def init_stage1(
     r_model, r_vql, r_vqh, r_drop = jax.random.split(rng, 4)
     vq_l = init_codebook(r_vql, spec.vq_l)
     vq_h = init_codebook(r_vqh, spec.vq_h)
-    variables = model.init(
-        {"params": r_model, "dropout": r_drop},
-        example_batch, vq_l, vq_h, False,
-    )
+    # ONE jitted (persistently cacheable) init program: eager flax init
+    # dispatches hundreds of ops, each paying host->device RTT on
+    # relay-backed environments — ~250 s/run at the published geometry,
+    # every run. Jitted it compiles once, hits the compile cache on
+    # later runs, and executes in seconds.
+    variables = jax.jit(
+        lambda rm, rd, x, vl, vh: model.init(
+            {"params": rm, "dropout": rd}, x, vl, vh, False,
+        )
+    )(r_model, r_drop, example_batch, vq_l, vq_h)
     return model, variables["params"], variables.get("batch_stats", {}), vq_l, vq_h
 
 

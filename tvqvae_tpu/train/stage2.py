@@ -44,8 +44,16 @@ def init_stage2(
     s_l = jnp.zeros((batch, spec.tokens_l), jnp.int32)
     s_h = jnp.zeros((batch, spec.tokens_h), jnp.int32)
     y = jnp.zeros((batch, 1), jnp.int32)
-    v_l = t_l.init({"params": r_l, "dropout": r_d}, s_l, None, y, False)
-    v_h = t_h.init({"params": r_h, "dropout": r_d}, s_l, s_h, y, False)
+    # jitted: one cacheable init program per transformer instead of
+    # per-op eager dispatch (see models/stage1.py init_stage1)
+    v_l = jax.jit(
+        lambda r, rd, a, c: t_l.init(
+            {"params": r, "dropout": rd}, a, None, c, False)
+    )(r_l, r_d, s_l, y)
+    v_h = jax.jit(
+        lambda r, rd, a, b, c: t_h.init(
+            {"params": r, "dropout": rd}, a, b, c, False)
+    )(r_h, r_d, s_l, s_h, y)
     params = {"l": v_l["params"], "h": v_h["params"]}
     h_stats = v_h.get("batch_stats", {})
     return params, h_stats

@@ -35,7 +35,10 @@ def init_stage3(
     rng: jax.Array, fe: FidelityEnhancer, example_x: jax.Array
 ) -> dict:
     r_p, r_d = jax.random.split(rng)
-    variables = fe.init({"params": r_p, "dropout": r_d}, example_x, False)
+    # jitted: one cacheable init program (see models/stage1.py init_stage1)
+    variables = jax.jit(
+        lambda rp, rd, x: fe.init({"params": rp, "dropout": rd}, x, False)
+    )(r_p, r_d, example_x)
     return variables["params"]
 
 

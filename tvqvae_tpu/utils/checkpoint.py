@@ -154,9 +154,12 @@ class AsyncSnapshotter:
     """
 
     def __init__(self, path: str):
+        import threading
+
         self.path = path
         self._thread = None
         self._copy_fn = None
+        self._cancel = threading.Event()
         self.skipped = 0
 
     def _device_copy(self, state: Any) -> Any:
@@ -194,7 +197,22 @@ class AsyncSnapshotter:
 
     def _write(self, snap: Any) -> None:
         try:
-            save_train_state(self.path, snap)
+            # Per-leaf device->host fetch with a cancel check between
+            # leaves: on a slow host link the 2.2 GB fetch takes minutes,
+            # and `abandon()` (stage end: the final checkpoint supersedes
+            # any snapshot) must not wait it out. Largest stage-1 leaves
+            # are ~86 MB, so cancellation lands within seconds.
+            leaves, treedef = jax.tree.flatten(snap)
+            host = []
+            for leaf in leaves:
+                if self._cancel.is_set():
+                    print("[snapshot] abandoned in-flight snapshot "
+                          "(superseded by the final checkpoint)")
+                    return
+                host.append(np.asarray(leaf))
+            if self._cancel.is_set():
+                return
+            save_train_state(self.path, jax.tree.unflatten(treedef, host))
         except Exception as e:  # never kill training over a lost snapshot
             print(f"[snapshot] WARNING: async snapshot failed: {e!r}")
 
@@ -202,3 +220,16 @@ class AsyncSnapshotter:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+
+    def abandon(self) -> None:
+        """Stop any still-in-flight snapshot at the next leaf boundary
+        WITHOUT writing it, then return. For stage ends: the final
+        `save_checkpoint` (whose meta carries completed_step) supersedes
+        mid-run snapshots, so joining a stale multi-minute fetch buys
+        nothing — measured 174.8 s of pure wait in the round-4 warm
+        full-geometry run. A previously COMPLETED snapshot file on disk
+        is left intact (it is still a valid, older recovery point)."""
+        if self._thread is not None and self._thread.is_alive():
+            self._cancel.set()
+        self.join()
+        self._cancel.clear()
