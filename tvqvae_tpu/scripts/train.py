@@ -54,12 +54,14 @@ def build_argparser():
                         "quality ladder unchanged — PERF.md 'fast_bn'); "
                         "--no-fast_bn restores flax-default promotion")
     p.add_argument("--bf16_mu", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=True,
                    help="store the AdamW first moment in bfloat16 — the "
                         "optimizer state is the top HBM consumer of the "
                         "stage-1 step (chip-measured +2.4%% steps/s; "
-                        "PERF.md round-4). Off by default pending the "
-                        "quality gate")
+                        "PERF.md round-4). Default ON since round 4: the "
+                        "L=512 quality gate PASSED (gen FID inside the "
+                        "measured run-to-run spread); --no-bf16_mu "
+                        "restores fp32 state")
     p.add_argument("--bf16_nu", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="store the AdamW second moment in bfloat16 "
@@ -83,6 +85,13 @@ def build_argparser():
                    help="feed batches from the host per step instead of "
                         "the default device-resident gather")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width: train over a 2-D "
+                        "(data, model) mesh with the big parameter leaves "
+                        "and AdamW moments sharded over `model` "
+                        "(parallel/tp.py) — for when per-chip HBM, not "
+                        "batch math, is the constraint. Requires "
+                        "n_devices %% tp == 0; single-process only")
     return p
 
 
@@ -149,6 +158,7 @@ def main(argv=None):
                     fast_bn=args.fast_bn,
                     bf16_mu=args.bf16_mu,
                     bf16_nu=args.bf16_nu,
+                    tp=args.tp,
                 )
             elif stage == "2":
                 runner.train_stage2(
@@ -159,6 +169,7 @@ def main(argv=None):
                     bundle_steps=args.bundle_steps,
                     bf16_mu=args.bf16_mu,
                     bf16_nu=args.bf16_nu,
+                    tp=args.tp,
                 )
             elif stage == "3":
                 tau = 0.0
@@ -194,6 +205,7 @@ def main(argv=None):
                     fast_norm=args.fast_bn,
                     bf16_mu=args.bf16_mu,
                     bf16_nu=args.bf16_nu,
+                    tp=args.tp,
                 )
             elif stage == "fcn":
                 runner.train_fcn(cfg, data, paths["fcn"], log, seed=args.seed)

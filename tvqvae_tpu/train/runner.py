@@ -57,6 +57,43 @@ from tvqvae_tpu.utils.schedule import warmup_cosine_schedule
 
 
 # --------------------------------------------------------------------------
+# mesh construction: 1-D data-parallel by default, optional 2-D
+# (data, model) tensor-parallel axis (parallel/tp.py)
+
+
+def _make_train_mesh(tp: int = 1):
+    """1-D `data` mesh (default), or a 2-D (data, model) mesh when tp > 1.
+
+    Every sharding helper the train loops use (data_sharding, shard_batch,
+    bundle_sharding, replicate_tree) names only the `data` axis in its
+    PartitionSpec, so the input path is mesh-rank-agnostic; only state
+    placement differs (see _place_state)."""
+    if tp <= 1:
+        return make_mesh()
+    from tvqvae_tpu.parallel.tp import make_mesh2d
+
+    assert jax.process_count() == 1, (
+        "tp > 1 is single-process for now: the multi-host input feed "
+        "(make_process_global_batch) assembles shards over `data` only"
+    )
+    devs = jax.devices()
+    assert len(devs) % tp == 0, (
+        f"{len(devs)} devices not divisible by tp={tp}"
+    )
+    return make_mesh2d(len(devs) // tp, tp)
+
+
+def _place_state(mesh, state, tp: int = 1):
+    """Replicate (DP) or TP-shard (params + optimizer moments over
+    `model`, rest replicated) a freshly built or snapshot-restored state."""
+    if tp <= 1:
+        return replicate_tree(mesh, state)
+    from tvqvae_tpu.parallel.tp import shard_train_state_tp
+
+    return shard_train_state_tp(mesh, state)
+
+
+# --------------------------------------------------------------------------
 # codebook (de)serialization
 
 
@@ -356,8 +393,9 @@ def train_stage1(
     fast_bn: bool = False,
     bf16_mu: bool = False,
     bf16_nu: bool = False,
+    tp: int = 1,
 ) -> str:
-    mesh = make_mesh()
+    mesh = _make_train_mesh(tp)
     batch_size = cfg.dataset.batch_sizes.get("stage1", 32)
     max_steps = max_steps or cfg.trainer_params.max_steps["stage1"]
     if _stage_completed(save_path, max_steps, resume, "stage1"):
@@ -384,7 +422,7 @@ def train_stage1(
         state = load_train_state(snap_path, state)
         start_step = int(state.step)
         print(f"[stage1] resuming from step {start_step}")
-    state = replicate_tree(mesh, state)
+    state = _place_state(mesh, state, tp)
     # Bundled stepping (bundle_steps > 1): one jitted lax.scan program
     # advances bundle_steps optimizer steps per host dispatch, hiding
     # host round-trip latency. Per-step semantics identical (see
@@ -584,7 +622,8 @@ def train_stage1(
           snapshot=lambda step: (snapshotter(state_box[0])
                                  if step < max_steps else None))
     t_join = time.time()
-    snapshotter.join()
+    # final checkpoint below supersedes any in-flight snapshot
+    snapshotter.abandon()
 
     state = state_box[0]
     t_save = time.time()
@@ -619,8 +658,9 @@ def train_stage2(
     bundle_steps: int = 1,
     bf16_mu: bool = False,
     bf16_nu: bool = False,
+    tp: int = 1,
 ) -> str:
-    mesh = make_mesh()
+    mesh = _make_train_mesh(tp)
     batch_size = cfg.dataset.batch_sizes.get("stage2", 16)
     max_steps = max_steps or cfg.trainer_params.max_steps["stage2"]
     if _stage_completed(save_path, max_steps, resume, "stage2"):
@@ -640,7 +680,8 @@ def train_stage2(
         state = load_train_state(snap_path, state)
         start_step = int(state.step)
         print(f"[stage2] resuming from step {start_step}")
-    state = replicate_tree(mesh, state)
+    state = _place_state(mesh, state, tp)
+    # the frozen stage-1 bundle is read-only context: keep it replicated
     frozen = replicate_tree(mesh, frozen)
 
     rng = jax.random.key(seed + 1)
@@ -768,7 +809,8 @@ def train_stage2(
           start_step=start_step, stride=bundle, train_tail=train_tail,
           snapshot=lambda step: (snapshotter(state_box[0])
                                  if step < max_steps else None))
-    snapshotter.join()
+    # final checkpoint below supersedes any in-flight snapshot
+    snapshotter.abandon()
 
     state = state_box[0]
     save_checkpoint(
@@ -802,8 +844,9 @@ def train_stage3(
     fast_norm: bool = False,
     bf16_mu: bool = False,
     bf16_nu: bool = False,
+    tp: int = 1,
 ) -> str:
-    mesh = make_mesh()
+    mesh = _make_train_mesh(tp)
     batch_size = cfg.dataset.batch_sizes.get("stage3", 16)
     max_steps = max_steps or cfg.trainer_params.max_steps["stage3"]
     if _stage_completed(save_path, max_steps, resume, "stage3"):
@@ -832,7 +875,8 @@ def train_stage3(
         state = load_train_state(snap_path, state)
         start_step = int(state.step)
         print(f"[stage3] resuming from step {start_step}")
-    state = replicate_tree(mesh, state)
+    state = _place_state(mesh, state, tp)
+    # the frozen stage-1 bundle is read-only context: keep it replicated
     frozen = replicate_tree(mesh, frozen)
 
     rng = jax.random.key(seed + 1)
@@ -996,7 +1040,8 @@ def train_stage3(
           start_step=start_step, stride=bundle, train_tail=train_tail,
           snapshot=lambda step: (snapshotter(state_box[0])
                                  if step < max_steps else None))
-    snapshotter.join()
+    # final checkpoint below supersedes any in-flight snapshot
+    snapshotter.abandon()
 
     state = state_box[0]
     save_checkpoint(
@@ -1031,7 +1076,10 @@ def train_fcn(
 
     fcn = FCN(n_classes=data.n_classes)
     x0 = jnp.asarray(data.X_train[: min(8, batch_size)])
-    variables = fcn.init({"params": jax.random.key(seed)}, x0, True)
+    # jitted: one cacheable init program (see models/stage1.py init_stage1)
+    variables = jax.jit(
+        lambda r, x: fcn.init({"params": r}, x, True)
+    )(jax.random.key(seed), x0)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     sched = optax.cosine_decay_schedule(lr, max_steps)
     tx = optax.adamw(sched, weight_decay=weight_decay)
