@@ -905,6 +905,64 @@ def bench_multichip(n: int):
         row["note"] = "real devices over ICI"
     rows.append(row)
 
+    # tensor-parallel arm (n >= 4): same global batch on a 2-D
+    # (data=n/2, model=2) mesh, big weights + AdamW moments sharded over
+    # `model` (parallel/tp.py — the train --tp N path). The DP-vs-TP rate
+    # ratio is the TP collective cost at this geometry; on the CPU mesh it
+    # validates the 2-D plumbing only.
+    if n >= 4:
+        from tvqvae_tpu.parallel.tp import (
+            make_mesh2d,
+            shard_batch2d,
+            shard_train_state_tp,
+            sharded_fraction,
+        )
+
+        def _rate_tp(mesh2d, B_total):
+            spec, model, step, state, _ = setup_stage1(
+                cfg, B_total, C, L, compute_dtype=dtype, fast_bn=True
+            )
+            x = jnp.asarray(
+                np.random.default_rng(0).normal(size=(B_total, C, L)),
+                jnp.float32,
+            )
+            # CPU-mesh geometry sits below the production size floor;
+            # use a floor that engages the rule either way
+            state = shard_train_state_tp(
+                mesh2d, state, min_elems=512 if cpu_mesh else None
+            )
+            frac = sharded_fraction(state.params)
+            xb = shard_batch2d(mesh2d, x)
+            rng = jax.random.key(1)
+            box = [state]
+            for _ in range(warmup):
+                box[0], m = step(box[0], xb, rng)
+            _state_drain(box)()
+
+            def one():
+                box[0], mm = step(box[0], xb, rng)
+                return mm
+
+            rates = _chunk_rates(one, chunks, chunk, drain=_state_drain(box))
+            del box
+            return float(np.percentile(rates, 50)), frac
+
+        mesh2d = make_mesh2d(n // 2, 2, devices)
+        sps_tp, frac = _rate_tp(mesh2d, B_dev * (n // 2))
+        rows.append({
+            "mode": "multichip_stage1_tp", "n_devices": n,
+            "cpu_mesh": cpu_mesh,
+            "mesh": {"data": n // 2, "model": 2},
+            "geometry": {"B_per_data_shard": B_dev, "C": C, "L": L,
+                         "dtype": dtype},
+            "steps_per_sec": round(sps_tp, 3),
+            "param_bytes_model_sharded": round(frac, 3),
+            "steps_per_sec_dp_same_devices": round(sps_n, 3),
+            "note": ("virtual CPU mesh: validates 2-D TP plumbing only"
+                     if cpu_mesh else
+                     "real devices: DP-vs-TP ratio = TP collective cost"),
+        })
+
     # generation fan-out: sample batch sharded along `data`
     from tvqvae_tpu.models.maskgit import (
         FrozenStage1,

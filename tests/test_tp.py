@@ -167,6 +167,9 @@ def test_runner_train_stage1_tp(tmp_path, monkeypatch):
     cfg = tiny_cfg()
     # 48*0.9 = 43 train samples; the default stage-1 batch of 32 must fit
     cfg.dataset.batch_sizes["stage1"] = 8
+    # a val boundary inside the run covers the full-split eval + snapshot
+    # paths under TP placements too
+    cfg.trainer_params.val_check_interval["stage1"] = 4
     p1 = str(tmp_path / "stage1")
     runner.train_stage1(cfg, data, p1, max_steps=8, tp=2)
     tree, meta = load_checkpoint(p1)
