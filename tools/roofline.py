@@ -290,6 +290,14 @@ def main():
                     help="checkpoint conv blocks — compare traffic vs plain")
     ap.add_argument("--fast_bn", action="store_true",
                     help="compute-dtype BN normalization — compare traffic")
+    ap.add_argument("--bf16_mu", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="AdamW first moment stored bf16 (stage 1 only "
+                         "here) — ON by default to match the round-4 "
+                         "production optimizer; --no-bf16_mu restores the "
+                         "fp32-state attribution")
+    ap.add_argument("--bf16_nu", action="store_true",
+                    help="AdamW second moment stored bf16 (stage 1 only)")
     ap.add_argument("--hlo_out", default="",
                     help="also dump the optimized HLO text here")
     ap.add_argument("--cpu", action="store_true",
@@ -319,7 +327,8 @@ def main():
         B = args.batch or 32
         spec, model, step, state, x = setup_stage1(
             cfg, B, 4, 4633, compute_dtype=dtype, remat=args.remat,
-            fast_bn=args.fast_bn,
+            fast_bn=args.fast_bn, bf16_mu=args.bf16_mu,
+            bf16_nu=args.bf16_nu,
         )
         rng = jax.random.key(1)
         compiled = step.lower(state, x, rng).compile()
@@ -335,6 +344,7 @@ def main():
         "stage": args.stage,
         "batch": B, "dtype": dtype, "remat": bool(args.remat),
         "fast_bn": bool(args.fast_bn),
+        "bf16_mu": bool(args.bf16_mu), "bf16_nu": bool(args.bf16_nu),
         "xla_cost_bytes_gb": round((nbytes or 0) / 1e9, 2),
         "entry_traffic_logical_gb": round(total_lo / 1e9, 2),
         "entry_traffic_padded_gb": round(total_pa / 1e9, 2),
