@@ -1178,12 +1178,12 @@ def main():
         ),
         "full_geometry_run_measured": (
             "published budgets 50k/200k/50k at L=4633/hid-128 trained "
-            "end-to-end on this chip in 107.5 min ALL-COLD-COMPILE "
-            "(round-4 run #3, tools/full_run.py; stage-1 steady "
-            "segments at the 18.1 steps/s device rate, stage-2 via "
-            "precomputed tokens); FID ladder at full geometry: floor "
-            "0.0002, rec 0.0006, gen 0.0033, noise 0.94; IS 3.82 — "
-            "see PERF.md"
+            "end-to-end on this chip in 70.1 min (74.2 incl. the "
+            "1024-sample evaluation; round-4 run #5, tools/full_run.py: "
+            "bundled scans at the device rate, precomputed frozen-stage "
+            "paths, jitted cached inits, non-blocking snapshots); FID "
+            "ladder at full geometry: floor 0.0002, rec 0.0003, gen "
+            "0.0019, noise 0.94; IS 3.32 — see PERF.md"
         ),
     }
     if "mfu_vs_bf16_peak" in s1:
