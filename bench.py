@@ -60,7 +60,11 @@ _PEAK_FLOPS = {
 
 _LAST_GOOD_CACHE = "/tmp/bench_last_good.json"
 # /tmp does not survive VM restarts (observed 2026-08-19: a restart wiped
-# the round-4a cache mid-round); keep a repo-local replica as well
+# the round-4a cache mid-round); keep a repo-local replica as well.
+# The replica is TRACKED in git since round 4h: the workspace itself gets
+# re-cloned between sessions (observed 2026-08-20), which silently dropped
+# the gitignored copy and would have downgraded a stale emission to the
+# round-2 line.
 _LAST_GOOD_REPO = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     ".bench_last_good.json",
@@ -1086,10 +1090,13 @@ def main():
                          "then raise)")
     ap.add_argument("--deadline", type=float,
                     default=float(__import__("os").environ.get(
-                        "BENCH_DEADLINE", 1500.0)),
+                        "BENCH_DEADLINE", 1650.0)),
                     help="driver mode: whole-run budget (start to JSON "
                          "line); on expiry the stale-marked last-good line "
-                         "is emitted no matter where the hang is")
+                         "is emitted no matter where the hang is. Default "
+                         "leaves 150 s of emit margin inside the driver's "
+                         "~1800 s kill while clearing the measured 1256 s "
+                         "cold-clone run (2026-08-20)")
     ap.add_argument("--multichip", type=int, default=0, metavar="N",
                     help="multi-chip scaling bench over an N-device mesh "
                          "(virtual CPU mesh when the platform is short — "
