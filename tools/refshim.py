@@ -45,6 +45,22 @@ def _fake_lightning():
         def lr_schedulers(self):
             return self._shim_scheduler
 
+        @classmethod
+        def load_from_checkpoint(cls, path, map_location=None, **kwargs):
+            """Lightning touchpoint #4 (reference maskgit.py:53-59,
+            trainers/stage3.py:43-56): construct with the caller's kwargs
+            and restore the checkpoint's state_dict. Checkpoints written by
+            tools/showdown.py use the same {"state_dict": ...} layout
+            Lightning's Trainer.save_checkpoint produces."""
+            import torch
+
+            obj = cls(**kwargs)
+            ckpt = torch.load(path, map_location=map_location or "cpu",
+                              weights_only=False)
+            state = ckpt.get("state_dict", ckpt)
+            obj.load_state_dict(state)
+            return obj
+
     mod.LightningModule = LightningModule
     return mod
 
@@ -108,13 +124,21 @@ def _fake_geo_stack():
 
     _pkg("mpl_toolkits.basemap", Basemap=type("Basemap", (), {}))
     _pkg("altair", Chart=_placeholder)
-    _pkg(
-        "x_transformers",
-        ContinuousTransformerWrapper=type(
-            "ContinuousTransformerWrapper", (), {}
-        ),
-        Encoder=type("Encoder", (), {}),
-    )
+    # x_transformers: FUNCTIONAL torch shim (tools/xtshim.py) so the
+    # reference's stage-2/3 prior can actually train (the cross-framework
+    # showdown); placeholder fallback if the shim cannot import.
+    try:
+        import xtshim
+
+        mods["x_transformers"] = xtshim.make_module()
+    except Exception:
+        _pkg(
+            "x_transformers",
+            ContinuousTransformerWrapper=type(
+                "ContinuousTransformerWrapper", (), {}
+            ),
+            Encoder=type("Encoder", (), {}),
+        )
     return mods
 
 
