@@ -59,11 +59,11 @@ def _env():
     if env.get("PYTHONPATH"):
         parts.append(env["PYTHONPATH"])
     env["PYTHONPATH"] = ":".join(parts)
-    # repo-local compile cache: /tmp does not survive VM restarts (observed
-    # 2026-08-19: a restart wiped the warm cache and the next full run paid
-    # ~10 min of cold remote compiles)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                   os.path.join(repo, ".cache", "jax"))
+    # /tmp compile cache, matching bench.py: the workspace gets RE-CLONED
+    # between sessions (observed 2026-08-20), which wipes a repo-local
+    # cache; /tmp survives a re-clone (nothing survives a VM restart —
+    # observed 2026-08-19 — either way)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tvqvae_jax_cache")
     os.makedirs(env["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     return env
 

@@ -277,15 +277,60 @@ def _compile_stage3_pre(cfg, B, compute_dtype="float32", fast_norm=False):
     return step.lower(state, x, x, jax.random.key(1)).compile()
 
 
+def _compile_generation(cfg, GB, bf16_decode=False):
+    """Compile the PRODUCTION sampling program (make_sampling_fn: T_l=10 CFG
+    MaskGIT decode scan + T_h=1 HF decode + BOTH stage-1 decoders + band
+    summation — the whole batch pipeline is one jitted program,
+    generation/sampler.py). This is the generation-roofline subject
+    (VERDICT r4 next-4): bytes/FLOPs attribution for the 5267 traj/s/chip
+    headline. Reference hot path: maskgit.py:294-446."""
+    import jax
+
+    from bench import setup_stage1
+    from tvqvae_tpu.models.maskgit import (
+        FrozenStage1,
+        MaskGITSpec,
+        build_transformers,
+    )
+    from tvqvae_tpu.models.stage1 import Stage1Model
+    from tvqvae_tpu.train.stage2 import init_stage2, make_sampling_fn
+
+    dd = "bfloat16" if bf16_decode else "float32"
+    spec, model, _, s1_state, _ = setup_stage1(
+        cfg, 32, 4, 4633, compute_dtype=dd, fast_bn=True
+    )
+    frozen = FrozenStage1(
+        params=s1_state.params, batch_stats=s1_state.batch_stats,
+        vq_l=s1_state.vq_l, vq_h=s1_state.vq_h,
+    )
+    mg = MaskGITSpec.from_config(cfg, spec)
+    t_l, t_h = build_transformers(cfg, spec, n_classes=5)
+    p2, h_stats = init_stage2(jax.random.key(2), t_l, t_h, mg)
+    sample_fn = make_sampling_fn(Stage1Model(spec), t_l, t_h, mg)
+    # already jitted with static num/class_index — lower directly
+    return sample_fn.lower(
+        frozen, p2, h_stats, jax.random.key(4), GB, None
+    ).compile()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--batch", type=int, default=0,
-                    help="default: the stage's published batch (32/16/16)")
+                    help="default: the stage's published batch (32/16/16; "
+                         "256 for --generation)")
     ap.add_argument("--stage", type=int, default=1, choices=(1, 2, 3),
                     help="which training step to analyze (stages 2/3 use "
                          "the production precomputed paths)")
+    ap.add_argument("--generation", action="store_true",
+                    help="analyze the PRODUCTION sampling program instead "
+                         "of a training step (bench.py's generation "
+                         "headline: one jitted CFG decode + dual-decoder "
+                         "pipeline at GB=256)")
+    ap.add_argument("--bf16_decode", action="store_true",
+                    help="with --generation: bfloat16 decoder conv stacks "
+                         "(the serve --bf16 lever)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint conv blocks — compare traffic vs plain")
     ap.add_argument("--fast_bn", action="store_true",
@@ -316,7 +361,10 @@ def main():
 
     cfg = Config()
     dtype = "float32" if args.fp32 else "bfloat16"
-    if args.stage == 2:
+    if args.generation:
+        B = args.batch or 256
+        compiled = _compile_generation(cfg, B, bf16_decode=args.bf16_decode)
+    elif args.stage == 2:
         B = args.batch or 16
         compiled = _compile_stage2_tokens(cfg, B)
     elif args.stage == 3:
@@ -341,7 +389,8 @@ def main():
 
     dev = jax.devices()[0]
     print(json.dumps({
-        "stage": args.stage,
+        "stage": ("generation" if args.generation else args.stage),
+        "bf16_decode": bool(args.bf16_decode) if args.generation else None,
         "batch": B, "dtype": dtype, "remat": bool(args.remat),
         "fast_bn": bool(args.fast_bn),
         "bf16_mu": bool(args.bf16_mu), "bf16_nu": bool(args.bf16_nu),

@@ -16,6 +16,12 @@ from .bluesky import (
     clean,
     simulate,
 )
+from .sowd import (
+    segments_distance,
+    sowd,
+    sowd_grid,
+    trajectory_set_grid,
+)
 
 __all__ = [
     "calculate_trajectory_distances",
@@ -32,4 +38,8 @@ __all__ = [
     "build_scenario",
     "clean",
     "simulate",
+    "segments_distance",
+    "sowd",
+    "sowd_grid",
+    "trajectory_set_grid",
 ]
