@@ -313,7 +313,8 @@ def _state_drain(box):
     return drain
 
 def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
-                 fast_bn=False, bf16_mu=False, bf16_nu=False):
+                 fast_bn=False, bf16_mu=False, bf16_nu=False,
+                 bf16_head=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -324,7 +325,8 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
     from tvqvae_tpu.utils import warmup_cosine_schedule
 
     spec = Stage1Spec.from_config(
-        cfg, L, C, compute_dtype=compute_dtype, remat=remat, fast_bn=fast_bn
+        cfg, L, C, compute_dtype=compute_dtype, remat=remat, fast_bn=fast_bn,
+        bf16_head=bf16_head,
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32
@@ -346,7 +348,8 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
 
 def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
                  compute_dtype="float32", bundle=1, remat=False,
-                 fast_bn=False, bf16_mu=False, bf16_nu=False):
+                 fast_bn=False, bf16_mu=False, bf16_nu=False,
+                 bf16_head=False):
     """Measures the per-step-dispatch training loop; with bundle > 1 ALSO
     measures the bundled lax.scan loop (runner `bundle_steps`) and makes
     THAT the headline steps/s (it is the loop shape the runner and
@@ -367,7 +370,7 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
 
     spec, model, step, state, x = setup_stage1(
         cfg, B, C, L, compute_dtype, remat=remat, fast_bn=fast_bn,
-        bf16_mu=bf16_mu, bf16_nu=bf16_nu,
+        bf16_mu=bf16_mu, bf16_nu=bf16_nu, bf16_head=bf16_head,
     )
     rng = jax.random.key(1)
 
@@ -1107,6 +1110,11 @@ def main():
                     help="store the AdamW second moment in bfloat16 "
                          "(train.optim.adamw nu_dtype) — symmetric lever "
                          "to --bf16_mu on the optimizer-state HBM traffic")
+    ap.add_argument("--bf16_head", action="store_true",
+                    help="TimeHead (L, L) dense matmul in the compute "
+                         "dtype (params/residual fp32) — the round-5 "
+                         "per-fusion roofline lever; opt-in pending the "
+                         "seed-varied quality gate")
     ap.add_argument("--tpu-wait", type=float,
                     default=float(__import__("os").environ.get(
                         "BENCH_TPU_WAIT", 900.0)),
@@ -1178,7 +1186,8 @@ def main():
                                    bundle=args.bundle, remat=args.remat,
                                    fast_bn=args.fast_bn,
                                    bf16_mu=args.bf16_mu,
-                                   bf16_nu=args.bf16_nu)
+                                   bf16_nu=args.bf16_nu,
+                                   bf16_head=args.bf16_head)
     gen = bench_generation(cfg, spec, state)
 
     sps = s1["steps_per_sec_p50"]
@@ -1231,6 +1240,8 @@ def main():
         extra["bf16_mu"] = True
     if args.bf16_nu:
         extra["bf16_nu"] = True
+    if args.bf16_head:
+        extra["bf16_head"] = True
     row = {
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),
@@ -1257,7 +1268,7 @@ def main():
             / rl["measured_step_ms"], 1
         )
     if not args.fp32 and not args.remat and args.fast_bn \
-            and args.bf16_mu and not args.bf16_nu:
+            and args.bf16_mu and not args.bf16_nu and not args.bf16_head:
         # production-default run (fast_bn + bf16_mu since round 4, bundled
         # stepping since round 5): stale-fallback source for outage windows
         _save_last_good(row)

@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--bf16_nu", action="store_true",
                     help="AdamW second moment in bfloat16 (all stages) — "
                          "quality-gate arm for the bench.py --bf16_nu lever")
+    ap.add_argument("--bf16_head", action="store_true",
+                    help="stage-1 TimeHead (L, L) matmul in the compute "
+                         "dtype — quality-gate arm for the round-5 "
+                         "bf16_head lever")
     ap.add_argument("--ess", action="store_true",
                     help="also time the ESS sampler on the trained ckpts")
     ap.add_argument("--seed", type=int, default=0,
@@ -113,12 +117,15 @@ def main():
         argv.append("--bf16_mu" if args.bf16_mu else "--no-bf16_mu")
         if args.bf16_nu:
             argv.append("--bf16_nu")
+        if args.bf16_head:
+            argv.append("--bf16_head")
         argv += ["--seed", str(args.seed)]
         train_main(argv)
     train_minutes = (time.time() - t0) / 60.0
     print(json.dumps({"train_minutes": round(train_minutes, 1),
                       "bf16": args.bf16, "bf16_mu": args.bf16_mu,
-                      "bf16_nu": args.bf16_nu, "seed": args.seed,
+                      "bf16_nu": args.bf16_nu,
+                      "bf16_head": args.bf16_head, "seed": args.seed,
                       "fast_bn": args.fast_bn}), flush=True)
 
     # --- FID ladder ----------------------------------------------------------
@@ -204,6 +211,7 @@ def main():
     res["fast_bn"] = args.fast_bn
     res["bf16_mu"] = args.bf16_mu
     res["bf16_nu"] = args.bf16_nu
+    res["bf16_head"] = args.bf16_head
     res["seed"] = args.seed
     print("SUMMARY " + json.dumps(
         {k: (round(float(v), 5) if isinstance(v, (int, float)) and

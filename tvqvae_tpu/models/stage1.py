@@ -73,12 +73,16 @@ class Stage1Spec:
     # removes the fp32 activation materialization around every BN under bf16
     # (tests/test_fast_bn.py pins equivalence).
     fast_bn: bool = False
+    # TimeHead (L, L) dense matmul in compute_dtype (params/residual fp32):
+    # the decoder's largest matmuls + their backward transpose copies sit in
+    # the per-fusion traffic top-10 at L=4633 (round-5 roofline).
+    bf16_head: bool = False
 
     @staticmethod
     def from_config(
         cfg: Config, input_length: int, in_channels: int,
         use_pallas: bool = False, compute_dtype: str = "float32",
-        remat: bool = False, fast_bn: bool = False,
+        remat: bool = False, fast_bn: bool = False, bf16_head: bool = False,
     ) -> "Stage1Spec":
         g_l = token_geometry(
             input_length, cfg.vqvae.n_fft, cfg.encoder.downsampled_width["lf"]
@@ -118,6 +122,7 @@ class Stage1Spec:
             compute_dtype=compute_dtype,
             remat=remat,
             fast_bn=fast_bn,
+            bf16_head=bf16_head,
         )
 
 
@@ -160,8 +165,9 @@ class Stage1Model(nn.Module):
             s.n_resnet_blocks_dec, dropout=s.dropout_dec, dtype=dt,
             remat=s.remat, fast_bn=s.fast_bn,
         )
-        self.head_l = TimeHead(s.input_length)
-        self.head_h = TimeHead(s.input_length)
+        head_dt = dt if s.bf16_head else jnp.float32
+        self.head_l = TimeHead(s.input_length, dtype=head_dt)
+        self.head_h = TimeHead(s.input_length, dtype=head_dt)
 
     # --- per-band pieces -------------------------------------------------
 

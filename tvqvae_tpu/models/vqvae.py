@@ -137,9 +137,17 @@ class TimeHead(nn.Module):
     """Post-iSTFT head: linear resize to input_length plus a residual dense
     layer over time (reference vq_vae.py:254-263 `Upsample` + `Linear(L, L)`,
     out = out + linear(out)). The (L, L) dense is the decoder's single
-    largest matmul — ideal MXU work."""
+    largest matmul — ideal MXU work.
+
+    `dtype` is the matmul compute dtype (params stay fp32, residual add in
+    fp32). At the published L=4633 the two (L, L) weights are the model's
+    two largest parameters (21.5 M each); the round-5 per-fusion roofline
+    showed their fp32 forward/backward matmuls + the backward weight-
+    transpose copies among the top traffic entries, so bf16 compute here
+    halves that slice (the bf16_head lever; quality-gated like bf16_mu)."""
 
     input_length: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -147,5 +155,5 @@ class TimeHead(nn.Module):
         from tvqvae_tpu.ops.interp import interp_linear
 
         x = interp_linear(x, self.input_length)
-        y = nn.Dense(self.input_length)(x)  # acts on last (time) axis
-        return x + y
+        y = nn.Dense(self.input_length, dtype=self.dtype)(x)  # time axis
+        return x + y.astype(jnp.float32)

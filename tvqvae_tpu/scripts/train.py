@@ -35,10 +35,13 @@ def build_argparser():
                    help="bfloat16 compute in the stage-1 conv stacks and "
                         "the stage-3 U-Net stream (params/norm stats/VQ/"
                         "losses/attention stay fp32)")
-    p.add_argument("--bundle_steps", type=int, default=1,
+    p.add_argument("--bundle_steps", type=int, default=10,
                    help="stage-1: optimizer steps per jitted lax.scan "
-                        "bundle (1 = classic per-step dispatch; >1 hides "
-                        "host round-trip latency)")
+                        "bundle (>1 hides host round-trip latency; 1 = "
+                        "classic per-step dispatch). Default 10 since "
+                        "round 5 — the loop shape tools/full_run.py "
+                        "trains with, chip-measured at/above the "
+                        "sequential device rate (PERF.md probe E)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas VQ kernel in stage 1")
     p.add_argument("--remat", action="store_true",
@@ -69,6 +72,13 @@ def build_argparser():
                         "--bf16_mu; update arithmetic stays fp32, only "
                         "storage precision changes. Quality-gated like "
                         "every lever (tools/quality_run.py --bf16_nu)")
+    p.add_argument("--bf16_head", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="stage-1: TimeHead (L, L) dense matmul in the "
+                        "compute dtype (params/residual fp32) — the "
+                        "round-5 per-fusion roofline lever; opt-in "
+                        "pending the seed-varied quality gate "
+                        "(tools/quality_run.py --bf16_head)")
     p.add_argument("--rbg_rng", action="store_true",
                    help="stage-1: use XLA's cheap counter-based (rbg) "
                         "generator for the training rng (dropout masks) "
@@ -158,6 +168,7 @@ def main(argv=None):
                     fast_bn=args.fast_bn,
                     bf16_mu=args.bf16_mu,
                     bf16_nu=args.bf16_nu,
+                    bf16_head=args.bf16_head,
                     tp=args.tp,
                 )
             elif stage == "2":
