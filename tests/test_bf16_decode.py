@@ -16,6 +16,12 @@ from tvqvae_tpu.config import Config
 from tvqvae_tpu.models import Stage1Spec, init_stage1
 from tvqvae_tpu.models.maskgit import FrozenStage1, decode_tokens
 from tvqvae_tpu.models.stage1 import Stage1Model
+import pytest
+
+# heavy big-compile/mesh tests: slow tier (round-5 fast-tier
+# budget, VERDICT r4 next-6 — `make test` still runs them)
+pytestmark = pytest.mark.slow
+
 
 
 def _tiny_cfg():

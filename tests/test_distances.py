@@ -247,6 +247,7 @@ def test_bucket_padding_invariance():
     np.testing.assert_allclose(a, b, rtol=1e-4)
 
 
+@pytest.mark.slow  # big compile (round-5 fast-tier budget)
 def test_batched_scoring_matches_per_pair():
     from tvqvae_tpu.evaluation.flyability.distances import (
         calculate_trajectory_distances_batch,

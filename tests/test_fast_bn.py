@@ -24,6 +24,11 @@ from flax import linen as nn
 
 from tvqvae_tpu.models.layers import BatchNorm, batch_norm
 
+# heavy big-compile/mesh tests: slow tier (round-5 fast-tier
+# budget, VERDICT r4 next-6 — `make test` still runs them)
+pytestmark = pytest.mark.slow
+
+
 
 def _flax_bn(train):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,

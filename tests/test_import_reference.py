@@ -20,6 +20,11 @@ torch = pytest.importorskip("torch")
 
 import refshim  # noqa: E402
 
+# heavy big-compile/mesh tests: slow tier (round-5 fast-tier
+# budget, VERDICT r4 next-6 — `make test` still runs them)
+pytestmark = pytest.mark.slow
+
+
 if not refshim.reference_available():
     pytest.skip("/root/reference not present", allow_module_level=True)
 

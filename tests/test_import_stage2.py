@@ -22,6 +22,11 @@ nn = torch.nn
 
 from tvqvae_tpu.utils.import_reference import stage2_from_state_dict  # noqa: E402
 
+# heavy big-compile/mesh tests: slow tier (round-5 fast-tier
+# budget, VERDICT r4 next-6 — `make test` still runs them)
+pytestmark = pytest.mark.slow
+
+
 # tiny geometry: embed 8; LF square wrapper (8->8, the fold-impossible
 # case), HF non-square (16->12->16); dim_head 64 is the reference constant
 E, HID_L, HID_H = 8, 8, 12

@@ -43,6 +43,7 @@ def test_conv_transpose_torch_geometry():
 
 
 @pytest.mark.parametrize("L", [128, 200])
+@pytest.mark.slow  # big compile (round-5 fast-tier budget)
 def test_encoder_decoder_geometry(L):
     g = token_geometry(L, 4, 4)
     enc = VQVAEEncoder(4, 16, g.num_halvings, 1)
@@ -59,6 +60,7 @@ def test_encoder_decoder_geometry(L):
     assert u.shape == (2, 3, g.w_prime * 2 ** (g.num_halvings + 1), 8)
 
 
+@pytest.mark.slow  # big compile (round-5 fast-tier budget)
 def test_stage1_forward_shapes_and_losses():
     cfg = tiny_config()
     L, C, B = 128, 2, 4
@@ -103,6 +105,7 @@ def test_stage1_forward_shapes_and_losses():
     )
 
 
+@pytest.mark.slow  # big compile (round-5 fast-tier budget)
 def test_stage1_encode_decode_roundtrip_shapes():
     cfg = tiny_config()
     L, C, B = 100, 1, 2
@@ -133,6 +136,7 @@ def test_fcn_shapes():
     assert feats.shape == (3, 128)
 
 
+@pytest.mark.slow  # big compile (round-5 fast-tier budget)
 def test_stage1_bf16_compute_close_to_fp32():
     """bfloat16 conv-stack compute (params fp32) stays finite and close to
     the fp32 forward; params are dtype-agnostic so the same tree serves both."""

@@ -6,6 +6,12 @@ Measured cost difference: tools/dropout_probe.py (threefry vs rbg vs off).
 """
 
 import numpy as np
+import pytest
+
+# heavy big-compile/mesh tests: slow tier (round-5 fast-tier
+# budget, VERDICT r4 next-6 — `make test` still runs them)
+pytestmark = pytest.mark.slow
+
 
 
 def _tiny_setup(rng_impl=None):

@@ -17,6 +17,11 @@ from tvqvae_tpu.models import Stage1Spec, init_stage1
 from tvqvae_tpu.train.stage1 import create_stage1_state, make_stage1_train_step
 from tvqvae_tpu.utils import warmup_cosine_schedule
 
+# heavy big-compile/mesh tests: slow tier (round-5 fast-tier
+# budget, VERDICT r4 next-6 — `make test` still runs them)
+pytestmark = pytest.mark.slow
+
+
 B, C, L = 8, 2, 128
 
 CFG = {

@@ -17,7 +17,9 @@ import types
 import numpy as np
 import pytest
 
-from tvqvae_tpu.evaluation.flyability import sowd as S
+# NB: the package re-exports the sowd FUNCTION, which shadows the submodule
+# as a package attribute — import the module itself explicitly
+S = importlib.import_module("tvqvae_tpu.evaluation.flyability.sowd")
 
 REF_DIST_DIR = (
     "/root/reference/timevqvae/evaluation/flyability_utils/trajectory_distances"

@@ -21,10 +21,16 @@ from tvqvae_tpu.parallel import make_mesh, replicate_tree, shard_batch
 from tvqvae_tpu.train import make_stage1_train_step
 from tvqvae_tpu.train.stage1 import create_stage1_state
 from tvqvae_tpu.train.stage2 import (
+
     create_stage2_state,
     init_stage2,
     make_stage2_train_step,
 )
+
+# heavy big-compile/mesh tests: slow tier (round-5 fast-tier
+# budget, VERDICT r4 next-6 — `make test` still runs them)
+pytestmark = pytest.mark.slow
+
 
 
 def tiny_cfg():

@@ -46,6 +46,12 @@ from tvqvae_tpu.train.stage2 import (
 
 from test_spmd_equivalence import tiny_cfg
 
+# heavy big-compile/mesh tests: slow tier (round-5 fast-tier
+# budget, VERDICT r4 next-6 — `make test` still runs them)
+pytestmark = pytest.mark.slow
+
+
+
 # tiny-geometry leaves are far below the production MIN_SHARD_ELEMS floor;
 # drop it so the rule engages in tests
 TEST_MIN_ELEMS = 512
