@@ -314,7 +314,7 @@ def _state_drain(box):
 
 def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
                  fast_bn=False, bf16_mu=False, bf16_nu=False,
-                 bf16_head=False):
+                 bf16_head=False, use_pallas=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -326,7 +326,7 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
 
     spec = Stage1Spec.from_config(
         cfg, L, C, compute_dtype=compute_dtype, remat=remat, fast_bn=fast_bn,
-        bf16_head=bf16_head,
+        bf16_head=bf16_head, use_pallas=use_pallas,
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32
@@ -349,7 +349,7 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
 def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
                  compute_dtype="float32", bundle=1, remat=False,
                  fast_bn=False, bf16_mu=False, bf16_nu=False,
-                 bf16_head=False):
+                 bf16_head=False, use_pallas=False):
     """Measures the per-step-dispatch training loop; with bundle > 1 ALSO
     measures the bundled lax.scan loop (runner `bundle_steps`) and makes
     THAT the headline steps/s (it is the loop shape the runner and
@@ -371,6 +371,7 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
     spec, model, step, state, x = setup_stage1(
         cfg, B, C, L, compute_dtype, remat=remat, fast_bn=fast_bn,
         bf16_mu=bf16_mu, bf16_nu=bf16_nu, bf16_head=bf16_head,
+        use_pallas=use_pallas,
     )
     rng = jax.random.key(1)
 
@@ -1115,6 +1116,10 @@ def main():
                          "dtype (params/residual fp32) — the round-5 "
                          "per-fusion roofline lever; opt-in pending the "
                          "seed-varied quality gate")
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="fused Pallas VQ kernel inside the production "
+                         "stage-1 step (the in-situ arm of the --vq-sweep "
+                         "micro-benchmark; VERDICT r4 next-5)")
     ap.add_argument("--tpu-wait", type=float,
                     default=float(__import__("os").environ.get(
                         "BENCH_TPU_WAIT", 900.0)),
@@ -1187,7 +1192,8 @@ def main():
                                    fast_bn=args.fast_bn,
                                    bf16_mu=args.bf16_mu,
                                    bf16_nu=args.bf16_nu,
-                                   bf16_head=args.bf16_head)
+                                   bf16_head=args.bf16_head,
+                                   use_pallas=args.use_pallas)
     gen = bench_generation(cfg, spec, state)
 
     sps = s1["steps_per_sec_p50"]
@@ -1242,6 +1248,8 @@ def main():
         extra["bf16_nu"] = True
     if args.bf16_head:
         extra["bf16_head"] = True
+    if args.use_pallas:
+        extra["use_pallas"] = True
     row = {
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),
@@ -1268,7 +1276,8 @@ def main():
             / rl["measured_step_ms"], 1
         )
     if not args.fp32 and not args.remat and args.fast_bn \
-            and args.bf16_mu and not args.bf16_nu and not args.bf16_head:
+            and args.bf16_mu and not args.bf16_nu and not args.bf16_head \
+            and not args.use_pallas:
         # production-default run (fast_bn + bf16_mu since round 4, bundled
         # stepping since round 5): stale-fallback source for outage windows
         _save_last_good(row)
