@@ -1111,11 +1111,16 @@ def main():
                     help="store the AdamW second moment in bfloat16 "
                          "(train.optim.adamw nu_dtype) — symmetric lever "
                          "to --bf16_mu on the optimizer-state HBM traffic")
-    ap.add_argument("--bf16_head", action="store_true",
+    ap.add_argument("--bf16_head", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="TimeHead (L, L) dense matmul in the compute "
                          "dtype (params/residual fp32) — the round-5 "
-                         "per-fusion roofline lever; opt-in pending the "
-                         "seed-varied quality gate")
+                         "per-fusion roofline lever. Default ON: +1.2%% "
+                         "bundled steps/s, +4.4%% generation, and the "
+                         "seed-varied L=512 gate PASSED (worst gen FID "
+                         "0.01026 inside the 0.0042-0.01172 mu-only "
+                         "spread; PERF.md round-5). --no-bf16_head "
+                         "restores the fp32 head")
     ap.add_argument("--use_pallas", action="store_true",
                     help="fused Pallas VQ kernel inside the production "
                          "stage-1 step (the in-situ arm of the --vq-sweep "
@@ -1276,7 +1281,7 @@ def main():
             / rl["measured_step_ms"], 1
         )
     if not args.fp32 and not args.remat and args.fast_bn \
-            and args.bf16_mu and not args.bf16_nu and not args.bf16_head \
+            and args.bf16_mu and not args.bf16_nu and args.bf16_head \
             and not args.use_pallas:
         # production-default run (fast_bn + bf16_mu since round 4, bundled
         # stepping since round 5): stale-fallback source for outage windows

@@ -61,10 +61,13 @@ def main():
     ap.add_argument("--bf16_nu", action="store_true",
                     help="AdamW second moment in bfloat16 (all stages) — "
                          "quality-gate arm for the bench.py --bf16_nu lever")
-    ap.add_argument("--bf16_head", action="store_true",
+    ap.add_argument("--bf16_head", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="stage-1 TimeHead (L, L) matmul in the compute "
-                         "dtype — quality-gate arm for the round-5 "
-                         "bf16_head lever")
+                         "dtype — the round-5 bf16_head lever; default ON "
+                         "to match the production default (gates PASSED "
+                         "seeds 0/101/202); --no-bf16_head gates the "
+                         "fp32-head arm")
     ap.add_argument("--ess", action="store_true",
                     help="also time the ESS sampler on the trained ckpts")
     ap.add_argument("--seed", type=int, default=0,
@@ -117,8 +120,7 @@ def main():
         argv.append("--bf16_mu" if args.bf16_mu else "--no-bf16_mu")
         if args.bf16_nu:
             argv.append("--bf16_nu")
-        if args.bf16_head:
-            argv.append("--bf16_head")
+        argv.append("--bf16_head" if args.bf16_head else "--no-bf16_head")
         argv += ["--seed", str(args.seed)]
         train_main(argv)
     train_minutes = (time.time() - t0) / 60.0

@@ -277,7 +277,7 @@ def _compile_stage3_pre(cfg, B, compute_dtype="float32", fast_norm=False):
     return step.lower(state, x, x, jax.random.key(1)).compile()
 
 
-def _compile_generation(cfg, GB, bf16_decode=False):
+def _compile_generation(cfg, GB, fp32=False, bf16_head=False):
     """Compile the PRODUCTION sampling program (make_sampling_fn: T_l=10 CFG
     MaskGIT decode scan + T_h=1 HF decode + BOTH stage-1 decoders + band
     summation — the whole batch pipeline is one jitted program,
@@ -295,9 +295,13 @@ def _compile_generation(cfg, GB, bf16_decode=False):
     from tvqvae_tpu.models.stage1 import Stage1Model
     from tvqvae_tpu.train.stage2 import init_stage2, make_sampling_fn
 
-    dd = "bfloat16" if bf16_decode else "float32"
+    # default matches the bench.py generation headline: bf16 conv stacks
+    # (the spec bench_generation inherits from the bf16 training arm);
+    # --fp32 gives the all-fp32 decode, --bf16_head adds the TimeHead lever
+    dd = "float32" if fp32 else "bfloat16"
     spec, model, _, s1_state, _ = setup_stage1(
-        cfg, 32, 4, 4633, compute_dtype=dd, fast_bn=True
+        cfg, 32, 4, 4633, compute_dtype=dd, fast_bn=True,
+        bf16_head=bf16_head,
     )
     frozen = FrozenStage1(
         params=s1_state.params, batch_stats=s1_state.batch_stats,
@@ -328,9 +332,10 @@ def main():
                          "of a training step (bench.py's generation "
                          "headline: one jitted CFG decode + dual-decoder "
                          "pipeline at GB=256)")
-    ap.add_argument("--bf16_decode", action="store_true",
-                    help="with --generation: bfloat16 decoder conv stacks "
-                         "(the serve --bf16 lever)")
+    ap.add_argument("--gen_bf16_head", action="store_true",
+                    help="with --generation: also run the TimeHead (L, L) "
+                         "matmuls in bf16 (the bf16_head lever's "
+                         "decode-side effect)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint conv blocks — compare traffic vs plain")
     ap.add_argument("--fast_bn", action="store_true",
@@ -363,7 +368,8 @@ def main():
     dtype = "float32" if args.fp32 else "bfloat16"
     if args.generation:
         B = args.batch or 256
-        compiled = _compile_generation(cfg, B, bf16_decode=args.bf16_decode)
+        compiled = _compile_generation(cfg, B, fp32=args.fp32,
+                                       bf16_head=args.gen_bf16_head)
     elif args.stage == 2:
         B = args.batch or 16
         compiled = _compile_stage2_tokens(cfg, B)
@@ -390,7 +396,8 @@ def main():
     dev = jax.devices()[0]
     print(json.dumps({
         "stage": ("generation" if args.generation else args.stage),
-        "bf16_decode": bool(args.bf16_decode) if args.generation else None,
+        "gen_bf16_head": (bool(args.gen_bf16_head) if args.generation
+                          else None),
         "batch": B, "dtype": dtype, "remat": bool(args.remat),
         "fast_bn": bool(args.fast_bn),
         "bf16_mu": bool(args.bf16_mu), "bf16_nu": bool(args.bf16_nu),

@@ -403,6 +403,10 @@ def cmd_tpu(args):
         "--model_save_dir", os.path.join(td, "models"),
         "--run_dir", os.path.join(td, "runs"),
         "--seed", "0",
+        # the shipped production recipe: bf16 conv stacks + the
+        # quality-gated defaults (fast_bn/bf16_mu/bf16_head/bundling
+        # ride train.py's defaults)
+        "--bf16",
     ]
     train_main(argv)
     dt = time.time() - t0
