@@ -60,7 +60,7 @@ for p in (REPO, TOOLS):
 BUDGETS = {"stage1": 3000, "stage2": 5000, "stage3": 1000}
 BATCHES = {"stage1": 32, "stage2": 16, "stage3": 16}
 HID_DIM = 64
-N_EVAL = 256
+N_EVAL = 1024  # the reference protocol size (stage2.py:92 n_samples=1024)
 DATA_SEED, N, C, L, NCLS = 7, 1200, 4, 512, 5
 
 CFG_OVERRIDES = """\
@@ -200,13 +200,13 @@ def _train_ref_stage(model, batches, max_steps, tag, log_every=100):
     return time.time() - t0
 
 
-def _ref_setup(wd):
+def _ref_setup(wd, torch_seed=0):
     import refshim
 
     refshim.install()
     import torch
 
-    torch.manual_seed(0)
+    torch.manual_seed(torch_seed)
     torch.set_num_threads(os.cpu_count() or 1)
     _patch_ref_metrics_ctor()
     cfg, data = _load_shared(wd)
@@ -228,7 +228,7 @@ def _save_ckpt(model, path):
 def cmd_ref(args):
     import torch
 
-    rcfg, data, rd, ck = _ref_setup(args.workdir)
+    rcfg, data, rd, ck = _ref_setup(args.workdir, torch_seed=args.torch_seed)
     X_train = np.ascontiguousarray(data.X_train, np.float32)
     Y_train = np.asarray(data.y_train).reshape(-1, 1).astype(np.int64)
     X_test = np.ascontiguousarray(data.X_test, np.float32)
@@ -576,6 +576,9 @@ def main():
     ap.add_argument("--stage", default="all", choices=["1", "2", "3", "all"])
     ap.add_argument("--measure", action="store_true",
                     help="time 5 steps per stage instead of training")
+    ap.add_argument("--torch_seed", type=int, default=0,
+                    help="reference-arm torch init/training seed (use a "
+                         "separate --workdir per seed)")
     args = ap.parse_args()
     {
         "data": cmd_data, "ref": cmd_ref, "ref-products": cmd_ref_products,
