@@ -179,3 +179,26 @@ def test_vq_forward_pallas_path_matches_xla_path(setup):
     np.testing.assert_allclose(
         float(out_x.perplexity), float(out_p.perplexity), rtol=1e-4
     )
+
+
+def test_vq_pallas_under_grad(setup):
+    """jax.grad THROUGH the pallas path (the in-situ training-step case the
+    round-5 bench exposed: without stop_gradient on the kernel inputs, JAX
+    attempts a JVP of the kernel and trips pallas' program_id assertion).
+    The encoder gradient must equal the XLA path's bitwise-semantics
+    (straight-through + commit loss only)."""
+    import jax
+    import jax.numpy as jnp
+
+    p, state, x = setup
+    p_pallas = VQParams(**{**p.__dict__, "use_pallas": True})
+
+    def loss(xin, params):
+        out = vq_forward(state, xin, params, train=True)
+        # straight-through consumer + commit term, like stage-1's loss
+        return jnp.sum(out.quantized ** 2) + out.commit_loss
+
+    g_x = jax.grad(lambda xi: loss(xi, p))(x)
+    g_p = jax.grad(lambda xi: loss(xi, p_pallas))(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-5)

@@ -186,7 +186,15 @@ def vq_forward(
     if p.use_pallas and (svq_temp is None or svq_temp == 0.0):
         from tvqvae_tpu.ops.vq_pallas import nearest_codes_stats_pallas
 
-        indices, counts, embed_sum = nearest_codes_stats_pallas(flat, state.embed)
+        # stop_gradient is EXACT here, not an approximation: none of the
+        # kernel outputs carries a tangent in the loss graph (indices are
+        # integer; counts/embed_sum feed only the EMA state, which is aux)
+        # — and without it jax.grad attempts a JVP of the kernel, which
+        # trips pallas' program_id-outside-grid assertion (found by the
+        # round-5 in-situ bench run; pinned by test_vq_pallas_under_grad)
+        indices, counts, embed_sum = nearest_codes_stats_pallas(
+            jax.lax.stop_gradient(flat), jax.lax.stop_gradient(state.embed)
+        )
     else:
         indices = _assign(flat, state.embed, svq_temp, arng)
         onehot = jax.nn.one_hot(indices, K, dtype=jnp.float32)
