@@ -461,8 +461,18 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
     return out, spec, state_for_gen
 
 
-def bench_generation(cfg, spec, state, GB=256, chunks=7, chunk=6):
+def bench_generation(cfg, spec, state, GB=256, chunks=7, chunk=6,
+                     bf16_istft=True):
+    """Sampler production mode: under bf16 compute the decode side runs
+    bf16_head (spec-inherited) AND bf16_istft (TrainedModelSampler's
+    defaults; both decode-side flags quality-gated on the L=512 ladder —
+    PERF.md round-5). No-ops under fp32."""
+    import dataclasses
+
     import jax
+
+    if bf16_istft:
+        spec = dataclasses.replace(spec, bf16_istft=True)
 
     from tvqvae_tpu.models.maskgit import FrozenStage1, MaskGITSpec, build_transformers
     from tvqvae_tpu.models.stage1 import Stage1Model
@@ -1002,6 +1012,9 @@ def bench_multichip(n: int):
     spec, model, _, s1_state, _ = setup_stage1(
         cfg, B_dev, C, L, compute_dtype=dtype, fast_bn=True
     )
+    import dataclasses as _dc
+
+    spec = _dc.replace(spec, bf16_istft=True)  # sampler production mode
     frozen = replicate_tree(mesh_n, FrozenStage1(
         params=s1_state.params, batch_stats=s1_state.batch_stats,
         vq_l=s1_state.vq_l, vq_h=s1_state.vq_h,

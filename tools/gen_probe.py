@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--bf16_head", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--bf16_istft", action="store_true",
+                    help="decode-side bf16 overlap-add (Stage1Spec."
+                         "bf16_istft) — the generation roofline's top "
+                         "traffic lever")
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
 
@@ -63,6 +67,10 @@ def main():
         cfg, 32, 4, 4633, compute_dtype=dd, fast_bn=True,
         bf16_head=args.bf16_head,
     )
+    if args.bf16_istft:
+        import dataclasses
+
+        spec = dataclasses.replace(spec, bf16_istft=True)
     frozen = FrozenStage1(
         params=s1_state.params, batch_stats=s1_state.batch_stats,
         vq_l=s1_state.vq_l, vq_h=s1_state.vq_h,
@@ -125,6 +133,7 @@ def main():
     rows["gb"] = GB
     rows["dtype"] = dd
     rows["bf16_head"] = bool(args.bf16_head)
+    rows["bf16_istft"] = bool(args.bf16_istft)
     rows["decode_steps"] = {"lf": mg.T_l, "hf": mg.T_h}
     rows["traj_per_sec_full"] = round(GB / rows["full_ms"] * 1e3, 1)
     rows["tokens_share_of_full"] = round(rows["tokens_ms"] / rows["full_ms"], 3)

@@ -46,12 +46,18 @@ class TrainedModelSampler:
         mesh=None,
         compute_dtype: str = "float32",
         fast_bn: bool = False,
+        bf16_head: bool = True,
+        bf16_istft: bool = True,
     ):
         """`mesh`: optional jax.sharding.Mesh — generation fans out over its
         `data` axis (batch_size must divide by the mesh size).
         `compute_dtype="bfloat16"` runs the frozen conv stacks (and the FE
         U-Net) in bf16 — the decode pipeline is HBM-bound like training, so
-        this halves its activation traffic; params stay fp32."""
+        this halves its activation traffic; params stay fp32. Under bf16,
+        `bf16_head`/`bf16_istft` (both default ON, decode-side only,
+        quality-gated on the L=512 ladder — PERF.md round-5) also run the
+        TimeHead matmuls and the iSTFT overlap-add in bf16; both are no-ops
+        when compute_dtype is float32."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.use_fe = use_fidelity_enhancer
@@ -60,7 +66,8 @@ class TrainedModelSampler:
 
         self.stage1_model, self.frozen, self.s1_spec, meta = (
             load_stage1_bundle(cfg, stage1_ckpt,
-                               compute_dtype=compute_dtype, fast_bn=fast_bn)
+                               compute_dtype=compute_dtype, fast_bn=fast_bn,
+                               bf16_head=bf16_head, bf16_istft=bf16_istft)
         )
         self.input_length = int(meta["input_length"])
         self.in_channels = int(meta["in_channels"])

@@ -77,12 +77,19 @@ class Stage1Spec:
     # the decoder's largest matmuls + their backward transpose copies sit in
     # the per-fusion traffic top-10 at L=4633 (round-5 roofline).
     bf16_head: bool = False
+    # iSTFT (overlap-add synthesis) in the compute dtype on the DECODE path:
+    # the generation roofline's top traffic block is the fp32 iSTFT frame
+    # reshuffling (0.45-0.53 GB layout copies each at GB=256, 44% of the
+    # sampler's bytes — PERF.md round-5 generation roofline). Halves that.
+    # Decode-side only; the stage-1 loss targets stay fp32 either way.
+    bf16_istft: bool = False
 
     @staticmethod
     def from_config(
         cfg: Config, input_length: int, in_channels: int,
         use_pallas: bool = False, compute_dtype: str = "float32",
         remat: bool = False, fast_bn: bool = False, bf16_head: bool = False,
+        bf16_istft: bool = False,
     ) -> "Stage1Spec":
         g_l = token_geometry(
             input_length, cfg.vqvae.n_fft, cfg.encoder.downsampled_width["lf"]
@@ -123,6 +130,7 @@ class Stage1Spec:
             remat=remat,
             fast_bn=fast_bn,
             bf16_head=bf16_head,
+            bf16_istft=bf16_istft,
         )
 
 
@@ -195,6 +203,11 @@ class Stage1Model(nn.Module):
         u = jnp.transpose(u, (0, 3, 1, 2))  # (B, 2C, H, W'')
         pad = zero_pad_high_freq if band == "lf" else zero_pad_low_freq
         u = pad(u)  # zero the other band of the decoder output
+        if s.bf16_istft and s.compute_dtype != "float32":
+            # bf16 overlap-add: the synthesis conv kernels/frames move in
+            # bf16 (the sampler's top traffic block); TimeHead's residual
+            # add re-promotes to fp32
+            u = u.astype(jnp.dtype(s.compute_dtype))
         xt = timefreq_to_time(u, s.n_fft)  # (B, C, W''-1)
         return head(xt)
 

@@ -158,16 +158,20 @@ def _stage_completed(save_path: str, max_steps: int, resume: bool,
 
 
 def load_stage1_bundle(cfg: Config, stage1_ckpt: str, use_pallas: bool = False,
-                       compute_dtype: str = "float32", fast_bn: bool = False):
+                       compute_dtype: str = "float32", fast_bn: bool = False,
+                       bf16_head: bool = False, bf16_istft: bool = False):
     """-> (Stage1Model, FrozenStage1, Stage1Spec, meta).
 
-    `compute_dtype`/`fast_bn` set the INFERENCE compute mode of the loaded
-    conv stacks (params stay fp32 in the checkpoint; bf16 halves decode HBM
-    traffic — the generation pipeline is memory-bound like training)."""
+    `compute_dtype`/`fast_bn`/`bf16_head`/`bf16_istft` set the INFERENCE
+    compute mode of the loaded conv stacks (params stay fp32 in the
+    checkpoint; bf16 halves decode HBM traffic — the generation pipeline is
+    memory-bound like training; bf16_istft additionally halves the iSTFT
+    frame traffic, the sampler's top block — PERF.md round-5)."""
     tree, meta = load_checkpoint(stage1_ckpt)
     spec = Stage1Spec.from_config(
         cfg, int(meta["input_length"]), int(meta["in_channels"]),
         use_pallas=use_pallas, compute_dtype=compute_dtype, fast_bn=fast_bn,
+        bf16_head=bf16_head, bf16_istft=bf16_istft,
     )
     model = Stage1Model(spec)
     frozen = FrozenStage1(
