@@ -314,7 +314,7 @@ def _state_drain(box):
 
 def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
                  fast_bn=False, bf16_mu=False, bf16_nu=False,
-                 bf16_head=False, use_pallas=False):
+                 bf16_head=False, use_pallas=False, bf16_istft=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -326,7 +326,7 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
 
     spec = Stage1Spec.from_config(
         cfg, L, C, compute_dtype=compute_dtype, remat=remat, fast_bn=fast_bn,
-        bf16_head=bf16_head, use_pallas=use_pallas,
+        bf16_head=bf16_head, use_pallas=use_pallas, bf16_istft=bf16_istft,
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, C, L)), jnp.float32
@@ -349,7 +349,7 @@ def setup_stage1(cfg, B, C, L, compute_dtype="float32", remat=False,
 def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
                  compute_dtype="float32", bundle=1, remat=False,
                  fast_bn=False, bf16_mu=False, bf16_nu=False,
-                 bf16_head=False, use_pallas=False):
+                 bf16_head=False, use_pallas=False, bf16_istft_train=False):
     """Measures the per-step-dispatch training loop; with bundle > 1 ALSO
     measures the bundled lax.scan loop (runner `bundle_steps`) and makes
     THAT the headline steps/s (it is the loop shape the runner and
@@ -371,7 +371,7 @@ def bench_stage1(cfg, B=32, C=4, L=4633, warmup=20, chunks=7, chunk=40,
     spec, model, step, state, x = setup_stage1(
         cfg, B, C, L, compute_dtype, remat=remat, fast_bn=fast_bn,
         bf16_mu=bf16_mu, bf16_nu=bf16_nu, bf16_head=bf16_head,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, bf16_istft=bf16_istft_train,
     )
     rng = jax.random.key(1)
 
@@ -1138,6 +1138,12 @@ def main():
                     help="fused Pallas VQ kernel inside the production "
                          "stage-1 step (the in-situ arm of the --vq-sweep "
                          "micro-benchmark; VERDICT r4 next-5)")
+    ap.add_argument("--bf16_istft_train", action="store_true",
+                    help="bf16 overlap-add in the TRAINING step too (the "
+                         "loss-path arm of the bf16_istft lever; the "
+                         "decode/sampler side is already the bf16 "
+                         "default) — measurement arm, quality gate "
+                         "required before any default flip")
     ap.add_argument("--tpu-wait", type=float,
                     default=float(__import__("os").environ.get(
                         "BENCH_TPU_WAIT", 900.0)),
@@ -1211,7 +1217,8 @@ def main():
                                    bf16_mu=args.bf16_mu,
                                    bf16_nu=args.bf16_nu,
                                    bf16_head=args.bf16_head,
-                                   use_pallas=args.use_pallas)
+                                   use_pallas=args.use_pallas,
+                                   bf16_istft_train=args.bf16_istft_train)
     gen = bench_generation(cfg, spec, state)
 
     sps = s1["steps_per_sec_p50"]
@@ -1268,6 +1275,8 @@ def main():
         extra["bf16_head"] = True
     if args.use_pallas:
         extra["use_pallas"] = True
+    if args.bf16_istft_train:
+        extra["bf16_istft_train"] = True
     row = {
         "metric": "stage1_train_steps_per_sec",
         "value": round(sps, 3),
@@ -1295,7 +1304,7 @@ def main():
         )
     if not args.fp32 and not args.remat and args.fast_bn \
             and args.bf16_mu and not args.bf16_nu and args.bf16_head \
-            and not args.use_pallas:
+            and not args.use_pallas and not args.bf16_istft_train:
         # production-default run (fast_bn + bf16_mu since round 4, bundled
         # stepping since round 5): stale-fallback source for outage windows
         _save_last_good(row)

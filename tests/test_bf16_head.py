@@ -70,3 +70,30 @@ def test_bf16_head_train_step_runs():
     w1 = state2.params["head_l"]["Dense_0"]["kernel"]
     assert w1.dtype == jnp.float32
     assert not np.array_equal(np.asarray(w0), np.asarray(w1))
+
+
+def test_bf16_istft_decode_close_to_fp32_istft():
+    """bf16_istft (decode-side overlap-add in the compute dtype): same
+    params, decode() output stays close to the fp32-iSTFT decode."""
+    import dataclasses
+
+    spec, model, params, bs, vq_l, vq_h, x = _setup(True)
+    from tvqvae_tpu.models.stage1 import Stage1Model
+    from tvqvae_tpu.models.vq import vq_forward
+
+    z = model.apply({"params": params, "batch_stats": bs}, x, "lf",
+                    method=Stage1Model.encode)
+    s_tok = vq_forward(vq_l, z, spec.vq_l, train=False).indices
+    zq = jnp.take(vq_l.embed, s_tok, axis=0)
+
+    outs = {}
+    for flag in (False, True):
+        sp = dataclasses.replace(spec, bf16_istft=flag)
+        m2 = Stage1Model(sp)
+        outs[flag] = np.asarray(m2.apply(
+            {"params": params, "batch_stats": bs}, zq, "lf",
+            method=Stage1Model.decode,
+        ))
+    assert outs[True].dtype == np.float32
+    np.testing.assert_allclose(outs[True], outs[False], rtol=5e-2, atol=5e-2)
+    assert not np.array_equal(outs[True], outs[False])  # lever engaged
