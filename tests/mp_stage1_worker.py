@@ -85,6 +85,33 @@ def main():
 
     for path, leaf in jtu.tree_leaves_with_path(tree):
         flat[jtu.keystr(path)] = np.asarray(leaf)
+
+    # FUNCTIONAL fingerprint: eval-mode reconstruction of a fixed batch
+    # through the restored checkpoint. Leaf-wise comparison alone is the
+    # wrong metric for the BN-degenerate directions (pre-BN conv biases —
+    # see the parent test's comment); the function the checkpoint computes
+    # is the equivalence claim.
+    from tvqvae_tpu.models import Stage1Spec
+    from tvqvae_tpu.models.stage1 import Stage1Model
+    from tvqvae_tpu.models.vq import CodebookState
+
+    spec = Stage1Spec.from_config(cfg, X.shape[2], X.shape[1])
+    model = Stage1Model(spec)
+    variables = {"params": tree["params"],
+                 "batch_stats": tree["batch_stats"]}
+    # CONTINUOUS maps only: the full forward routes through the VQ argmin,
+    # where a boundary token flip turns infinitesimal param drift into an
+    # O(1) output jump — a discontinuity, not an inequivalence.
+    z_l = model.apply(variables, X[:4], "lf", method=Stage1Model.encode)
+    z_h = model.apply(variables, X[:4], "hf", method=Stage1Model.encode)
+    flat["__eval_z_l__"] = np.asarray(z_l)
+    flat["__eval_z_h__"] = np.asarray(z_h)
+    zq_fix = np.random.default_rng(3).normal(
+        size=np.asarray(z_l).shape
+    ).astype(np.float32)
+    dec = model.apply(variables, zq_fix, "lf", method=Stage1Model.decode)
+    flat["__eval_dec_l__"] = np.asarray(dec)
+
     np.savez(os.path.join(outdir, f"final_np{nproc}_p{pid}.npz"), **flat)
     print(f"[worker p{pid}/{nproc}] done: {len(flat)} leaves", flush=True)
 
