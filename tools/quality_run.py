@@ -68,6 +68,10 @@ def main():
                          "to match the production default (gates PASSED "
                          "seeds 0/101/202); --no-bf16_head gates the "
                          "fp32-head arm")
+    ap.add_argument("--bf16_istft", action="store_true",
+                    help="stage-1 TRAINING-side bf16 overlap-add — the "
+                         "round-6 gate arm (decode side is already "
+                         "default)")
     ap.add_argument("--ess", action="store_true",
                     help="also time the ESS sampler on the trained ckpts")
     ap.add_argument("--seed", type=int, default=0,
@@ -121,6 +125,8 @@ def main():
         if args.bf16_nu:
             argv.append("--bf16_nu")
         argv.append("--bf16_head" if args.bf16_head else "--no-bf16_head")
+        if args.bf16_istft:
+            argv.append("--bf16_istft")
         argv += ["--seed", str(args.seed)]
         train_main(argv)
     train_minutes = (time.time() - t0) / 60.0
@@ -214,6 +220,7 @@ def main():
     res["bf16_mu"] = args.bf16_mu
     res["bf16_nu"] = args.bf16_nu
     res["bf16_head"] = args.bf16_head
+    res["bf16_istft"] = args.bf16_istft
     res["seed"] = args.seed
     print("SUMMARY " + json.dumps(
         {k: (round(float(v), 5) if isinstance(v, (int, float)) and

@@ -80,6 +80,13 @@ def build_argparser():
                         "since round 5: +1.2%% bundled steps/s, +4.4%% "
                         "generation, seed-varied L=512 gate PASSED "
                         "(PERF.md round-5); --no-bf16_head opts out")
+    p.add_argument("--bf16_istft", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="stage-1: bf16 overlap-add in the TRAINING step "
+                        "(in the loss path — needs its own 3-seed gate; "
+                        "chip-measured 18.56 vs 18.50 steps/s, PERF.md "
+                        "round 5). The decode/sampler side is already "
+                        "the bf16 default")
     p.add_argument("--rbg_rng", action="store_true",
                    help="stage-1: use XLA's cheap counter-based (rbg) "
                         "generator for the training rng (dropout masks) "
@@ -170,6 +177,7 @@ def main(argv=None):
                     bf16_mu=args.bf16_mu,
                     bf16_nu=args.bf16_nu,
                     bf16_head=args.bf16_head,
+                    bf16_istft=args.bf16_istft,
                     tp=args.tp,
                 )
             elif stage == "2":

@@ -398,6 +398,7 @@ def train_stage1(
     bf16_mu: bool = False,
     bf16_nu: bool = False,
     bf16_head: bool = False,
+    bf16_istft: bool = False,
     tp: int = 1,
 ) -> str:
     mesh = _make_train_mesh(tp)
@@ -410,7 +411,7 @@ def train_stage1(
     spec = Stage1Spec.from_config(
         cfg, data.input_length, data.in_channels, use_pallas=use_pallas,
         compute_dtype=compute_dtype, remat=remat, fast_bn=fast_bn,
-        bf16_head=bf16_head,
+        bf16_head=bf16_head, bf16_istft=bf16_istft,
     )
     x0 = jnp.asarray(data.X_train[:batch_size])
     model, params, batch_stats, vq_l, vq_h = init_stage1(
